@@ -3,20 +3,35 @@
 The driver's verify runs ``entry(spark)`` as a smoke check, runs
 each ``queries()[name]`` at sf=0.01 and compares it against the
 matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+order-insensitive value-hash → CORRECTNESS_r{N}.json).
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+SF0001 = "/root/testdata/sf0.001"
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query: the full KG-construction pipeline.
+
+    Loads the sf0.001 documents table (driver testdata) to size the run,
+    synthesizes the deterministic source-code corpus in the input_hint shape
+    (corpus(repo, path, commit, lang, content) — no external data, seed=42),
+    and runs corpus -> segments -> fused score/decode -> mention dedup ->
+    triple assembly. Returns triples(subj, pred, obj, doc_id).
+    """
+    from theta_spark.corpus import corpus_df
+    from theta_spark.pipeline import extract_triples
+
+    docs = spark.read.parquet(os.path.join(SF0001, "documents.parquet"))
+    n_docs = docs.count()  # 500 at sf0.001 — sizes the synthetic corpus
+    corpus, _ = corpus_df(spark, n_docs, seed=42, num_partitions=8)
+    return extract_triples(corpus)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -25,14 +40,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     Each callable takes (spark, sf_dir) and returns a DataFrame.
     Alias every computed/aggregate column so names match ``oracle_sql``.
     """
-    return {}
+    from theta_spark import queries as q
+
+    return q.QUERIES
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB-runnable ANSI SQL twin for each query (tables region nation
+    customer supplier part orders lineitem events documents embeddings are
+    pre-registered). Omitted keys get a weaker rows-only check."""
+    from theta_spark import queries as q
+
+    return q.ORACLES

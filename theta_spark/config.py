@@ -1,0 +1,50 @@
+"""Pipeline configuration.
+
+Mirrors the reference's segmentation/decoding knobs:
+- seg_len = max_length - 2, seg_stride = seg_len // 2 (50% overlap)
+  (reference: theta/nlp/tasks/task_ner.py:184-186,231)
+- confidence threshold for decode zeroing (task_ner.py:617-627, default 0.5
+  at theta/__main__.py:115-116 — we default 0.0 like decode_ents' signature)
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+# 1-based category ids; 0 reserved = "no entity"
+# (reference: theta/nlp/data/samples.py:221-227)
+NER_LABELS = ["function", "class", "module", "variable", "library", "call"]
+LABEL2ID = {c: i + 1 for i, c in enumerate(NER_LABELS)}
+ID2LABEL = {i + 1: c for i, c in enumerate(NER_LABELS)}
+
+PREDICATES = ["defines", "imports", "calls", "contains", "instance_of"]
+
+
+@dataclass
+class PipelineConfig:
+    max_length: int = 128          # tokenizer max length (reference default shape)
+    confidence: float = 0.0        # decode confidence threshold
+    min_mention_len: int = 1
+    # canonicalization
+    shingle_k: int = 3
+    minhash_rows: int = 16         # signature length
+    lsh_bands: int = 4             # bands for LSH bucketing
+    jaccard_threshold: float = 0.5
+    cc_max_iters: int = 20
+    # scale knobs
+    shuffle_partitions: int = 32
+    salt_buckets: int = 8          # salting for skewed canonical entities
+    hot_key_threshold: int = 10_000
+
+    @property
+    def seg_len(self) -> int:
+        # reference: task_ner.py:184 (seg_len = max_length - 2)
+        return self.max_length - 2
+
+    @property
+    def seg_stride(self) -> int:
+        # reference: task_ner.py:185 (seg_stride = int(seg_len / 2))
+        return self.seg_len // 2
+
+    labels: list = field(default_factory=lambda: list(NER_LABELS))

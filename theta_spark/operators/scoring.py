@@ -1,0 +1,232 @@
+"""Tokenizer + deterministic scorer + span decode.
+
+This is the engine's "model" stage, shaped exactly like the reference's
+inference path so a real transformer can be dropped in behind the same
+interface:
+
+    probs = scorer(seg_texts)           # (B, T, num_labels) start/end probs
+    ents  = decode_ents(start, end, lens, confidence)   # token spans
+    spans = token spans -> char spans   # via offset maps
+
+Reference citations:
+- offset maps contract: theta/nlp/tasks/task_ner.py:42-65 and
+  theta/nlp/tokenizers/huggingface_tokenizer.py:73-98;
+- decode semantics (argmax, confidence zeroing, nearest-end pairing with
+  early break on an intervening start, `last_j` overlap guard):
+  theta/nlp/tasks/task_ner.py:594-654 (`decode_ents`);
+- token->char remap: task_ner.py:1368-1372. The reference computes
+  char_end = token2char[e+1]-1, which equals the true inclusive end only for
+  gap-free tokenizations (its char-level Chinese tokenizer); we store exact
+  per-token (start, end) so mentions never absorb trailing gap characters.
+
+The scorer here is the deterministic stand-in (SURVEY.md §7.0): per-token
+start/end probabilities derived from code-structure rules, with a stable
+pseudo-random confidence in [0.55, 0.95] so the confidence-threshold path
+(task_ner.py:617-627) is exercised. A real model implements the same
+`seg_texts -> (start_probs, end_probs, offsets)` contract.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import numpy as np
+
+from theta_spark.config import LABEL2ID
+
+TOKEN_RE = re.compile(r"[A-Za-z_][A-Za-z0-9_]*")
+KEYWORDS = {"def", "class", "import", "return", "self", "module"}
+
+NUM_LABELS = len(LABEL2ID) + 1  # + category 0 = no entity
+
+
+def tokenize_with_offsets(text: str):
+    """-> (tokens, starts, ends) with ends exclusive; identifier tokens only."""
+    tokens, starts, ends = [], [], []
+    for m in TOKEN_RE.finditer(text):
+        tokens.append(m.group(0))
+        starts.append(m.start())
+        ends.append(m.end())
+    return tokens, starts, ends
+
+
+def _stable_prob(token: str) -> float:
+    h = int.from_bytes(hashlib.md5(token.encode()).digest()[:4], "big")
+    return 0.55 + 0.40 * (h / 0xFFFFFFFF)
+
+
+def rule_labels(text: str, visible_start: bool = True):
+    """Deterministic 'model': per-token (start_label, end_label, prob).
+
+    Sliding-window robustness (`visible_start` = False when this text is a
+    segment that begins mid-document): a token or dotted chain that runs into
+    the segment's right edge may be cut mid-identifier and is never labeled —
+    the 50% overlap guarantees the full mention appears interior to the
+    neighboring segment (stride >= max mention length). A `variable` label
+    requires a visible line start for the same reason.
+
+    Rules over the code corpus (single source of truth for engine,
+    reference-transcription harness, and unit tests):
+      - token after `def `      -> function
+      - token after `class `    -> class
+      - dotted chain after `import ` -> library (start at first, end at last)
+      - dotted chain after `\"\"\"module ` -> module
+      - dotted chain whose last token is followed by `(` AND an `=` appears
+        earlier on the same line -> call. (The `=` requirement makes the rule
+        robust to sliding-window cuts: a `def name(` header whose `def ` was
+        cut off by a segment boundary must not be mislabeled as a call; the
+        full mention is recovered from the overlapping segment.)
+      - line-leading token followed by ` = ` -> variable
+    """
+    tokens, starts, ends = tokenize_with_offsets(text)
+    n = len(tokens)
+    start_lab = np.zeros(n, dtype=np.int64)
+    end_lab = np.zeros(n, dtype=np.int64)
+    probs = np.array([_stable_prob(t) for t in tokens]) if n else np.zeros(0)
+
+    def chain_end(k: int):
+        """(last token index, complete) of the dotted chain starting at k.
+        Incomplete = the chain runs into the text edge (possibly cut)."""
+        j = k
+        while j + 1 < n and ends[j] < len(text) and text[ends[j]] == "." and starts[j + 1] == ends[j] + 1:
+            j += 1
+        complete = ends[j] < len(text) and text[ends[j]] != "."
+        return j, complete
+
+    for k, tok in enumerate(tokens):
+        if tok in KEYWORDS:
+            continue
+        prev = tokens[k - 1] if k > 0 else ""
+        prev_adjacent = k > 0 and starts[k] - ends[k - 1] <= 1
+        in_chain = k > 0 and starts[k] == ends[k - 1] + 1 and text[ends[k - 1]] == "."
+        if in_chain:
+            continue  # chain members are labeled from their head
+        tok_complete = ends[k] < len(text)  # token not cut by the right edge
+        if prev == "def" and prev_adjacent:
+            if tok_complete:
+                start_lab[k] = end_lab[k] = LABEL2ID["function"]
+            continue
+        if prev == "class" and prev_adjacent:
+            if tok_complete:
+                start_lab[k] = end_lab[k] = LABEL2ID["class"]
+            continue
+        if prev == "import" and prev_adjacent:
+            j, complete = chain_end(k)
+            if complete:
+                start_lab[k] = LABEL2ID["library"]
+                end_lab[j] = LABEL2ID["library"]
+            continue
+        if prev == "module" and prev_adjacent and k > 0 and starts[k - 1] >= 1 and text[starts[k - 1] - 1] == '"':
+            j, complete = chain_end(k)
+            if complete:
+                start_lab[k] = LABEL2ID["module"]
+                end_lab[j] = LABEL2ID["module"]
+            continue
+        j, complete = chain_end(k)
+        if complete and text[ends[j]] == "(":
+            line_before = text[: starts[k]].rsplit("\n", 1)[-1]
+            if "=" in line_before:
+                start_lab[k] = LABEL2ID["call"]
+                end_lab[j] = LABEL2ID["call"]
+            continue
+        if ends[k] + 3 <= len(text) and text[ends[k] : ends[k] + 3] == " = ":
+            line_start_visible = visible_start or "\n" in text[: starts[k]]
+            line_head = text[: starts[k]].rsplit("\n", 1)[-1]
+            if line_start_visible and line_head.strip() == "":
+                start_lab[k] = end_lab[k] = LABEL2ID["variable"]
+    return tokens, starts, ends, start_lab, end_lab, probs
+
+
+def labels_to_probs(start_lab, end_lab, probs):
+    """One-hot-ish prob matrices: labeled positions get the token's stable
+    prob at its category; everything else concentrates on category 0."""
+    n = len(start_lab)
+    sp = np.zeros((n, NUM_LABELS), dtype=np.float64)
+    ep = np.zeros((n, NUM_LABELS), dtype=np.float64)
+    sp[:, 0] = 0.9
+    ep[:, 0] = 0.9
+    idx = np.arange(n)
+    mask_s = start_lab > 0
+    sp[idx[mask_s], start_lab[mask_s]] = 1.0 + probs[mask_s]  # > bg mass
+    mask_e = end_lab > 0
+    ep[idx[mask_e], end_lab[mask_e]] = 1.0 + probs[mask_e]
+    # normalize rows to simplex so thresholds behave like softmax output
+    sp /= sp.sum(axis=1, keepdims=True)
+    ep /= ep.sum(axis=1, keepdims=True)
+    return sp, ep
+
+
+def decode_ents(start_probs, end_probs, batch_lens, confidence: float = 0.0):
+    """Faithful re-statement of the reference greedy decode
+    (task_ner.py:594-654), including its quirks:
+
+    - confidence zeroing happens on the *argmax* label using the prob at that
+      label (task_ner.py:617-627);
+    - for each surviving start i, scan ends j>=i for the first matching
+      category; stop early if position i+j+1 holds a new start
+      (task_ner.py:648-650);
+    - `last_j` records the *relative* offset j (reference quirk at
+      task_ner.py:643), and starts with i <= last_j are skipped.
+
+    Returns per row: dict {category_id: [(s_tok, e_tok), ...]}.
+    """
+    start_preds = np.argmax(start_probs, -1)
+    end_preds = np.argmax(end_probs, -1)
+
+    if confidence > 0.0:
+        rows = np.arange(start_preds.shape[0])[:, None]
+        cols = np.arange(start_preds.shape[1])[None, :]
+        s_conf = start_probs[rows, cols, start_preds]
+        e_conf = end_probs[rows, cols, end_preds]
+        start_preds = np.where(s_conf > confidence, start_preds, 0)
+        end_preds = np.where(e_conf > confidence, end_preds, 0)
+
+    final = []
+    for start_pred, end_pred, text_len in zip(start_preds, end_preds, batch_lens):
+        start_pred = start_pred[:text_len]
+        end_pred = end_pred[:text_len]
+        ents: dict[int, list[tuple[int, int]]] = {}
+        last_j = -1
+        for i, s_type in enumerate(start_pred):
+            if s_type == 0:
+                continue
+            if i <= last_j:
+                continue
+            for j, e_type in enumerate(end_pred[i:]):
+                if s_type == e_type:
+                    last_j = j  # reference quirk: relative offset
+                    ents.setdefault(int(s_type), []).append((i, i + j))
+                    break
+                if i + j < len(start_pred) - 1 and start_pred[i + j + 1] != 0:
+                    break
+        final.append(ents)
+    return final
+
+
+def extract_mentions(text: str, confidence: float = 0.0, visible_start: bool = True):
+    """Full per-segment extraction: tokenize -> score -> decode -> char spans.
+
+    Returns list of (category_id, char_start, char_end_inclusive, mention,
+    indent) where `indent` is the leading-whitespace width of the mention's
+    line *as visible in this segment* (used downstream to classify top-level
+    vs nested definitions; a segment cut inside the indent yields a smaller
+    value, so the merge stage aggregates with max).
+
+    Shared by the Spark mapInPandas stage and the differential harness, so
+    any disagreement between the two isolates the *distributed plumbing*.
+    """
+    tokens, starts, ends, sl, el, pr = rule_labels(text, visible_start)
+    if not tokens:
+        return []
+    sp, ep = labels_to_probs(sl, el, pr)
+    decoded = decode_ents(sp[None, :, :], ep[None, :, :], [len(tokens)], confidence)[0]
+    out = []
+    for cat, spans in decoded.items():
+        for (s_tok, e_tok) in spans:
+            cs, ce = starts[s_tok], ends[e_tok] - 1
+            line = text[:cs].rsplit("\n", 1)[-1]
+            indent = len(line) - len(line.lstrip(" "))
+            out.append((int(cat), cs, ce, text[cs : ce + 1], indent))
+    out.sort(key=lambda x: (x[1], x[0]))
+    return out

@@ -1,0 +1,176 @@
+"""End-to-end KG construction pipeline (SURVEY.md §4.3 physical sketch).
+
+    corpus(repo, path, commit, lang, content)
+      -> doc_id + sha256 invariant                       [narrow]
+      -> sliding-window segments (W1)                    [narrow fan-out]
+      -> mapInPandas score+decode (M*/D1 fused)          [Arrow batches]
+      -> un-shift + dedup (G1/G2)                        [shuffle]
+      -> triples via windows + joins                     [shuffle]
+      -> canonicalization (LSH + CC) on entity names     [small table]
+      -> nodes/edges materialization (salted agg)        [shuffle]
+
+Per-row invariant: sha256(content) via F.sha2 carried from the scan into the
+mentions output (input_hint contract). Every stage is a checkpointable
+parquet snapshot via `run_checkpointed` with per-stage lineage + metrics
+(north rule: resumable with per-partition lineage and metrics tables).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from theta_spark.canonicalize import canonicalize_names
+from theta_spark.config import PipelineConfig
+from theta_spark.operators.extract import score_and_decode
+from theta_spark.operators.merge import dedup_mentions, unshift_mentions
+from theta_spark.operators.segmentation import segment
+from theta_spark.operators.triples import assemble_triples, with_category_names, with_norm
+
+
+def with_doc_id(corpus: DataFrame) -> DataFrame:
+    """doc_id = repo:path@commit; sha = sha2(content, 256) (input_hint)."""
+    return corpus.select(
+        F.concat_ws("", F.col("repo"), F.lit(":"), F.col("path"), F.lit("@"), F.col("commit")).alias("doc_id"),
+        "repo",
+        "path",
+        "commit",
+        "lang",
+        F.sha2(F.col("content"), 256).alias("sha256"),
+        F.col("content").alias("text"),
+    )
+
+
+def extract_mentions_df(corpus: DataFrame, cfg: PipelineConfig | None = None) -> DataFrame:
+    """corpus -> deduped document-level mentions with category names + norms."""
+    cfg = cfg or PipelineConfig()
+    docs = with_doc_id(corpus)
+    segs = segment(docs, "text", cfg.seg_len, cfg.seg_stride)
+    raw = score_and_decode(segs, cfg.confidence)
+    mentions = dedup_mentions(unshift_mentions(raw))
+    return with_norm(with_category_names(mentions))
+
+
+def extract_triples(corpus: DataFrame, cfg: PipelineConfig | None = None) -> DataFrame:
+    return assemble_triples(extract_mentions_df(corpus, cfg))
+
+
+def build_nodes_edges(triples: DataFrame, mentions: DataFrame, cfg: PipelineConfig | None = None):
+    """Materialize graph tables. Node mention-counts use a two-phase salted
+    aggregation so a hot entity (e.g. a util called from 20% of files) cannot
+    straddle one reducer (SURVEY.md §4.2 skew row).
+
+    Canonicalization: distinct mention norms -> (name, canonical) via
+    MinHash-LSH + connected components; triples re-keyed to canonical ids.
+    """
+    cfg = cfg or PipelineConfig()
+    names = mentions.select(F.col("norm").alias("name"))
+    canon = canonicalize_names(
+        names,
+        k=cfg.shingle_k,
+        num_hashes=cfg.minhash_rows,
+        bands=cfg.lsh_bands,
+        threshold=cfg.jaccard_threshold,
+        max_iters=cfg.cc_max_iters,
+    )
+
+    canon_b = F.broadcast(canon)  # distinct entity names << mentions
+    m = mentions.join(canon_b.withColumnRenamed("name", "norm"), on="norm", how="left").withColumn(
+        "canonical", F.coalesce("canonical", "norm")
+    )
+
+    # two-phase salted count: partial by (canonical, salt) then final
+    salted = m.withColumn("salt", F.pmod(F.hash("doc_id"), F.lit(cfg.salt_buckets)))
+    partial = salted.groupBy("canonical", "category", "salt").agg(
+        F.count(F.lit(1)).alias("cnt"), F.countDistinct("doc_id").alias("docs_part")
+    )
+    nodes = partial.groupBy("canonical", "category").agg(
+        F.sum("cnt").alias("n_mentions"), F.sum("docs_part").alias("n_doc_parts")
+    )
+
+    t = (
+        triples.join(canon_b.withColumnRenamed("name", "subj").withColumnRenamed("canonical", "subj_c"), on="subj", how="left")
+        .join(canon_b.withColumnRenamed("name", "obj").withColumnRenamed("canonical", "obj_c"), on="obj", how="left")
+        .select(
+            F.coalesce("subj_c", "subj").alias("subj"),
+            "pred",
+            F.coalesce("obj_c", "obj").alias("obj"),
+            "doc_id",
+        )
+    )
+    edges = t.groupBy("subj", "pred", "obj").agg(F.count(F.lit(1)).alias("n_docs"))
+    return nodes, edges, t
+
+
+# ------------------------------------------------------------ lineage/resume
+
+def _manifest_path(workdir: str, stage: str) -> str:
+    return os.path.join(workdir, stage, "_STAGE_MANIFEST.json")
+
+
+def stage_complete(workdir: str, stage: str) -> bool:
+    return os.path.exists(_manifest_path(workdir, stage))
+
+
+def run_checkpointed(
+    spark: SparkSession,
+    workdir: str,
+    stage: str,
+    build: "callable",
+    partition_cols: list | None = None,
+    resume: bool = True,
+) -> DataFrame:
+    """Stage-level checkpoint: if the stage's manifest exists and resume is
+    on, read the snapshot; otherwise build, write parquet, record lineage +
+    metrics (rows_out, wall_ms) in the manifest. On a real cluster the same
+    contract is an Iceberg snapshot + per-bucket manifest (SURVEY.md §4.2)."""
+    path = os.path.join(workdir, stage)
+    if resume and stage_complete(workdir, stage):
+        return spark.read.parquet(path)
+    t0 = time.time()
+    df = build()
+    writer = df.write.mode("overwrite")
+    if partition_cols:
+        writer = writer.partitionBy(*partition_cols)
+    writer.parquet(path)
+    out = spark.read.parquet(path)
+    manifest = {
+        "stage": stage,
+        "rows_out": out.count(),
+        "wall_ms": int((time.time() - t0) * 1000),
+        "schema": out.schema.simpleString(),
+    }
+    with open(_manifest_path(workdir, stage), "w") as f:
+        json.dump(manifest, f)
+    return out
+
+
+def run_pipeline(spark: SparkSession, corpus: DataFrame, workdir: str, cfg: PipelineConfig | None = None, resume: bool = True):
+    """Full checkpoint-resumable run; returns dict of stage DataFrames."""
+    cfg = cfg or PipelineConfig()
+    mentions = run_checkpointed(
+        spark, workdir, "mentions", lambda: extract_mentions_df(corpus, cfg), resume=resume
+    )
+    triples = run_checkpointed(
+        spark, workdir, "triples", lambda: assemble_triples(mentions), resume=resume
+    )
+    nodes_edges = {}
+
+    def _build_nodes():
+        n, e, t = build_nodes_edges(triples, mentions, cfg)
+        nodes_edges["edges"] = e
+        return n
+
+    nodes = run_checkpointed(spark, workdir, "nodes", _build_nodes, resume=resume)
+
+    def _build_edges():
+        if "edges" not in nodes_edges:
+            nodes_edges["edges"] = build_nodes_edges(triples, mentions, cfg)[1]
+        return nodes_edges["edges"]
+
+    edges = run_checkpointed(spark, workdir, "edges", _build_edges, resume=resume)
+    return {"mentions": mentions, "triples": triples, "nodes": nodes, "edges": edges}
