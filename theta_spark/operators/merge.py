@@ -29,16 +29,35 @@ def unshift_mentions(raw: DataFrame) -> DataFrame:
 
 
 def dedup_mentions(mentions: DataFrame) -> DataFrame:
-    """G2: one row per (doc, category, span). Deterministic aggregation
-    instead of dropDuplicates: `indent` can differ between overlapping
-    segments when a window cut lands inside leading whitespace (the cut
-    segment sees a shorter indent), so we take max(indent); min(seg_id)
-    keeps first-occurrence provenance like the reference's
-    order-preserving dedup."""
-    return mentions.groupBy("doc_id", "category_id", "start", "end").agg(
-        F.min("seg_id").alias("seg_id"),
-        F.first("mention").alias("mention"),
-        F.max("indent").alias("indent"),
+    """G2: one row per (doc, category, span). Deterministic: `indent` can
+    differ between overlapping segments when a window cut lands inside
+    leading whitespace (the cut segment sees a shorter indent), so we take
+    max(indent); min seg_id (row_number asc) keeps first-occurrence
+    provenance like the reference's order-preserving dedup
+    (task_ner.py:1403-1415).
+
+    Physical plan note: one explicit hash repartition on doc_id, then both
+    window specs below — and the doc-level windows of the downstream triple
+    assembly — are satisfied by that same partitioning (their partition keys
+    contain doc_id), so the whole mentions->triples chain runs on a single
+    shuffle with only per-partition sorts between stages."""
+    key = ["doc_id", "category_id", "start", "end"]
+    w_key = Window.partitionBy(*key)
+    w_ord = Window.partitionBy(*key).orderBy("seg_id")
+    return (
+        mentions.repartition("doc_id")
+        .withColumn("_indent", F.max("indent").over(w_key))
+        .withColumn("_rn", F.row_number().over(w_ord))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "doc_id",
+            "category_id",
+            "start",
+            "end",
+            "seg_id",
+            "mention",
+            F.col("_indent").alias("indent"),
+        )
     )
 
 

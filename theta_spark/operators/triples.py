@@ -41,73 +41,77 @@ def with_norm(mentions: DataFrame) -> DataFrame:
 
 def assemble_triples(mentions: DataFrame) -> DataFrame:
     """mentions(doc_id, category, start, end, mention, norm, indent) ->
-    triples(subj, pred, obj, doc_id), distinct."""
-    w_doc = (
+    triples(subj, pred, obj, doc_id), distinct.
+
+    Single-pass assembly: one set of doc-partitioned window columns, then
+    every predicate rule becomes an element of a candidate array that is
+    filtered and exploded — no per-predicate branch re-reading the upstream
+    (a naive 5-way union would recompute the Python scoring stage 5x), no
+    join for instance_of (the adjacent-call test is a lead() + an
+    array_contains on a per-doc collect_set of class names). All window
+    specs partition by doc_id, so after the dedup stage's repartition the
+    whole assembly is shuffle-free sorts."""
+    w_all = (
         Window.partitionBy("doc_id")
-        .orderBy("start")
+        .orderBy("start", "category_id", "end")
         .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     )
     w_before = (
         Window.partitionBy("doc_id")
-        .orderBy("start")
+        .orderBy("start", "category_id", "end")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
+    w_next = Window.partitionBy("doc_id").orderBy("start", "category_id", "end")
+
+    cat = F.col("category")
+    norm = F.col("norm")
     m = (
         mentions.withColumn(
-            "module",
-            F.first(F.when(F.col("category") == "module", F.col("norm")), ignorenulls=True).over(w_doc),
+            "module", F.first(F.when(cat == "module", norm), ignorenulls=True).over(w_all)
+        )
+        .withColumn("classes", F.collect_set(F.when(cat == "class", norm)).over(w_all))
+        .withColumn(
+            "prev_class", F.last(F.when(cat == "class", norm), ignorenulls=True).over(w_before)
         )
         .withColumn(
-            "prev_class",
-            F.last(F.when(F.col("category") == "class", F.col("norm")), ignorenulls=True).over(w_before),
+            "prev_def", F.last(F.when(cat == "function", norm), ignorenulls=True).over(w_before)
         )
-        .withColumn(
-            "prev_def",
-            F.last(F.when(F.col("category") == "function", F.col("norm")), ignorenulls=True).over(w_before),
-        )
+        .withColumn("next_cat", F.lead("category").over(w_next))
+        .withColumn("next_norm", F.lead("norm").over(w_next))
+        .withColumn("next_start", F.lead("start").over(w_next))
     )
 
-    defines = m.filter(
-        (F.col("category").isin("function", "class")) & (F.col("indent") == 0)
-    ).select(F.col("module").alias("subj"), F.lit("defines").alias("pred"), F.col("norm").alias("obj"), "doc_id")
+    def t(subj, pred, obj):
+        return F.struct(subj.alias("subj"), F.lit(pred).alias("pred"), obj.alias("obj"))
 
-    contains = m.filter(
-        (F.col("category") == "function") & (F.col("indent") > 0) & F.col("prev_class").isNotNull()
-    ).select(F.col("prev_class").alias("subj"), F.lit("contains").alias("pred"), F.col("norm").alias("obj"), "doc_id")
-
-    imports = m.filter(F.col("category") == "library").select(
-        F.col("module").alias("subj"), F.lit("imports").alias("pred"), F.col("norm").alias("obj"), "doc_id"
+    module_c, prev_class, prev_def = F.col("module"), F.col("prev_class"), F.col("prev_def")
+    candidates = F.array(
+        # top-level function/class def-site -> (module, defines, x)
+        F.when(
+            cat.isin("function", "class") & (F.col("indent") == 0) & module_c.isNotNull(),
+            t(module_c, "defines", norm),
+        ),
+        # indented (method) def-site -> (nearest preceding class, contains, x)
+        F.when(
+            (cat == "function") & (F.col("indent") > 0) & prev_class.isNotNull(),
+            t(prev_class, "contains", norm),
+        ),
+        # library mention -> (module, imports, lib)
+        F.when((cat == "library") & module_c.isNotNull(), t(module_c, "imports", norm)),
+        # call-site -> (nearest preceding def, calls, x)  [as-of window]
+        F.when((cat == "call") & prev_def.isNotNull(), t(prev_def, "calls", norm)),
+        # variable v adjacent to constructor call `v = C()` of a same-doc
+        # class C: the call starts len(" = ")+1 chars after v's inclusive end
+        F.when(
+            (cat == "variable")
+            & (F.col("next_cat") == "call")
+            & (F.col("next_start") == F.col("end") + 4)
+            & F.array_contains(F.col("classes"), F.col("next_norm")),
+            t(F.lower(F.col("mention")), "instance_of", F.col("next_norm")),
+        ),
     )
-
-    calls = m.filter((F.col("category") == "call") & F.col("prev_def").isNotNull()).select(
-        F.col("prev_def").alias("subj"), F.lit("calls").alias("pred"), F.col("norm").alias("obj"), "doc_id"
-    )
-
-    # instance_of: variable v directly assigned a constructor call `v = C()`
-    # where C is a class defined in the same doc. Adjacency: the call starts
-    # exactly len(" = ")+1 chars after the variable's inclusive end.
-    doc_classes = (
-        m.filter(F.col("category") == "class")
-        .select("doc_id", F.col("norm").alias("callee_norm"))
+    return (
+        m.select("doc_id", F.explode(F.filter(candidates, lambda x: x.isNotNull())).alias("t"))
+        .select("t.subj", "t.pred", "t.obj", "doc_id")
         .distinct()
     )
-    variables = m.filter(F.col("category") == "variable").select(
-        "doc_id",
-        F.col("mention").alias("var_mention"),
-        (F.col("end") + 4).alias("call_start"),
-    )
-    ctor_calls = m.filter(F.col("category") == "call").select(
-        "doc_id", F.col("norm").alias("callee_norm"), F.col("start").alias("call_start")
-    )
-    instance_of = (
-        variables.join(ctor_calls, on=["doc_id", "call_start"])
-        .join(doc_classes, on=["doc_id", "callee_norm"])
-        .select(
-            F.lower(F.col("var_mention")).alias("subj"),
-            F.lit("instance_of").alias("pred"),
-            F.col("callee_norm").alias("obj"),
-            "doc_id",
-        )
-    )
-
-    return defines.unionByName(contains).unionByName(imports).unionByName(calls).unionByName(instance_of).distinct()
