@@ -30,7 +30,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
     docs = spark.read.parquet(os.path.join(SF0001, "documents.parquet"))
     n_docs = docs.count()  # 500 at sf0.001 — sizes the synthetic corpus
-    corpus, _ = corpus_df(spark, n_docs, seed=42, num_partitions=8)
+    corpus, _ = corpus_df(spark, n_docs, seed=42, num_partitions=8, with_docs=False)
     return extract_triples(corpus)
 
 

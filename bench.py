@@ -1,0 +1,135 @@
+"""Benchmark harness (driver contract).
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+    {"metric": ..., "value": <total sec>, "unit": "sec",
+     "queries": {name: sec, ...}, "sf": ..., "kg": {...}}
+
+Headline set:
+- kg_pipeline: the flagship corpus->segments->score/decode->dedup->triples
+  chain on a synthetic corpus sized to the SF's documents table — the
+  BASELINE.json metric (triples/sec) is reported under "kg".
+- kg_graph: canonicalization (MinHash-LSH + CC) + salted nodes/edges agg.
+- representative driver-contract queries (shuffle-heavy agg, broadcast
+  join chain, window sessionization, segmentation fan-out, hash dedup).
+
+Scaling evidence across parallelism levels lives in bench_scaling.py (it
+spawns one JVM per level); this file is the single-process per-round bench.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+
+def _stage_wall(workdir: str, stage: str) -> float:
+    import json as _json
+
+    with open(os.path.join(workdir, stage, "_STAGE_MANIFEST.json")) as f:
+        return _json.load(f)["wall_ms"] / 1000.0
+
+
+def _sf_of(sf_dir: str) -> float:
+    base = os.path.basename(sf_dir.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return -1.0
+
+
+def run_bench(sf_dir: str | None = None, cpus: str | None = None, n_docs: int | None = None) -> dict:
+    sf_dir = sf_dir or os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = cpus or os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+    from theta_spark.session import get_spark
+
+    spark = get_spark(app_name=f"bench-{os.path.basename(sf_dir)}", master=f"local[{cpus}]")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import shutil
+    import tempfile
+
+    from theta_spark import queries as q
+    from theta_spark.config import PipelineConfig
+    from theta_spark.corpus import corpus_df
+    from theta_spark.pipeline import run_pipeline
+
+    from pyspark.sql import functions as F
+
+    cfg = PipelineConfig()
+    timings: dict[str, float] = {}
+    kg: dict = {}
+
+    # --- KG pipeline (the BASELINE.json metric): the real checkpoint-
+    # resumable pipeline incl. parquet stage snapshots, not a cache-warmed
+    # variant — what a cluster run pays per stage.
+    n_docs = n_docs or int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "0")) or (
+        spark.read.parquet(f"{sf_dir}/documents.parquet").count() * 10
+    )
+    corpus, _ = corpus_df(spark, n_docs, seed=42, num_partitions=int(cpus) * 2, with_docs=False)
+    corpus = corpus.persist()
+    n_chars = corpus.agg(F.sum(F.length("content"))).collect()[0][0]
+
+    workdir = tempfile.mkdtemp(prefix="kgbench_")
+    try:
+        t0 = time.time()
+        stages = run_pipeline(spark, corpus, workdir, cfg, resume=False)
+        t_all = time.time() - t0
+        n_mentions = stages["mentions"].count()
+        n_triples = stages["triples"].count()
+        t_extract = _stage_wall(workdir, "mentions") + _stage_wall(workdir, "triples")
+        timings["kg_pipeline"] = round(t_extract, 3)
+        timings["kg_graph"] = round(t_all - t_extract, 3)
+        kg.update(
+            n_docs=n_docs,
+            n_chars=int(n_chars),
+            n_mentions=n_mentions,
+            n_triples=n_triples,
+            n_nodes=stages["nodes"].count(),
+            n_edges=stages["edges"].count(),
+            triples_per_sec=round(n_triples / t_extract, 1),
+            docs_per_sec=round(n_docs / t_extract, 1),
+            mb_per_sec=round(n_chars / 1e6 / t_extract, 2),
+            end_to_end_sec=round(t_all, 3),
+        )
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+    corpus.unpersist()
+
+    # --- representative relational queries (driver-contract subset) ---
+    headline = [
+        "q1_pricing_summary",
+        "q3_broadcast_join_agg",
+        "d3_gaps_islands",
+        "w1_segments",
+        "g2_dedup_docs",
+        "d1_asof_pairing",
+    ]
+    for name in headline:
+        fn = q.QUERIES[name]
+        t0 = time.time()
+        df = fn(spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    result = {
+        "metric": "headline_total_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": _sf_of(sf_dir),
+        "cpus": int(cpus),
+        "kg": kg,
+    }
+    spark.stop()
+    return result
+
+
+if __name__ == "__main__":
+    out = run_bench()
+    print(json.dumps(out))
+    sys.stdout.flush()

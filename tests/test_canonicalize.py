@@ -1,0 +1,79 @@
+"""Entity canonicalization: MinHash-LSH blocking + connected components
+(north rule). Small-name-set semantics tests; scale behavior is bench.py's
+concern."""
+
+from pyspark.sql import functions as F
+
+from theta_spark.canonicalize import (
+    canonicalize_names,
+    connected_components,
+    jaccard_filter,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    shingles,
+)
+
+
+def _names_df(spark, names):
+    return spark.createDataFrame([(n,) for n in names], "name string")
+
+
+def test_shingles_basic(spark):
+    out = shingles(_names_df(spark, ["abcd"]), "name", 3).collect()
+    assert {r.shingle for r in out} == {"abc", "bcd"}
+
+
+def test_shingles_short_name(spark):
+    out = shingles(_names_df(spark, ["ab"]), "name", 3).collect()
+    assert {r.shingle for r in out} == {"ab"}
+
+
+def test_minhash_identical_names_identical_sigs(spark):
+    sh = shingles(_names_df(spark, ["shared_util", "shared_util2"]), "name", 3)
+    sigs = {r.name: r.sig for r in minhash_signatures(sh, "name", 8).collect()}
+    # near-identical shingle sets -> mostly equal minhash slots
+    a, b = sigs["shared_util"], sigs["shared_util2"]
+    assert sum(x == y for x, y in zip(a, b)) >= 5
+
+
+def test_lsh_finds_near_duplicates(spark):
+    names = ["shared_util", "shared_utils", "completely_other"]
+    sh = shingles(_names_df(spark, names), "name", 3)
+    sig = minhash_signatures(sh, "name", 16)
+    pairs = {(r.a, r.b) for r in lsh_candidate_pairs(sig, "name", 8).collect()}
+    assert ("shared_util", "shared_utils") in pairs
+
+
+def test_jaccard_filter_exact(spark):
+    names = ["abcde", "abcdx"]
+    df = _names_df(spark, names)
+    sh = shingles(df, "name", 3).localCheckpoint()
+    pairs = spark.createDataFrame([("abcde", "abcdx")], "a string, b string")
+    out = jaccard_filter(pairs, sh, "name", threshold=0.0).collect()
+    # shingles: {abc,bcd,cde} vs {abc,bcd,cdx} -> inter 2, union 4 -> 0.5
+    assert len(out) == 1 and abs(out[0].jaccard - 0.5) < 1e-9
+
+
+def test_connected_components_chain_and_star(spark):
+    # path a-b-c-d plus star e-{f,g}; isolated h
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("e", "f"), ("e", "g")], "a string, b string"
+    )
+    nodes = _names_df(spark, list("abcdefgh"))
+    comp = {r.name: r.component for r in connected_components(edges, nodes, "name").collect()}
+    assert comp == {
+        "a": "a", "b": "a", "c": "a", "d": "a",
+        "e": "e", "f": "e", "g": "e", "h": "h",
+    }
+
+
+def test_canonicalize_end_to_end(spark):
+    names = ["shared_util", "shared_utils", "helper3", "helper4", "zzz_unique"]
+    out = {r.name: r.canonical for r in canonicalize_names(
+        _names_df(spark, names), threshold=0.5
+    ).collect()}
+    assert out["shared_util"] == out["shared_utils"]
+    # identity names are omitted from the mapping (callers coalesce)
+    assert "zzz_unique" not in out
+    # helper3/helper4 share shingles {hel,elp,lpe,per,er3/4}: jaccard 4/6 >= 0.5
+    assert out["helper3"] == out["helper4"]

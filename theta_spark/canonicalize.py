@@ -22,7 +22,7 @@ on the current label (hash-partitioned, re-used across iterations).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -50,10 +50,18 @@ def minhash_signatures(sh: DataFrame, name_col: str = "name", num_hashes: int = 
     return sig.select(name_col, F.array(*[F.col(f"h{s}") for s in range(num_hashes)]).alias("sig"))
 
 
-def lsh_candidate_pairs(sig: DataFrame, name_col: str = "name", bands: int = 4) -> DataFrame:
+def lsh_candidate_pairs(
+    sig: DataFrame, name_col: str = "name", bands: int = 8, max_bucket: int = 64
+) -> DataFrame:
     """Band the signature; names sharing any (band_id, band_hash) bucket are
-    candidates. Returns (a, b) with a < b, distinct."""
-    num_hashes = bands  # recomputed below from array length at runtime
+    candidates. Returns (a, b) with a < b, distinct.
+
+    `max_bucket` drops degenerate buckets (> max_bucket members) before the
+    self-join: short identifier names share most of their few shingles, so
+    without the cap one hot band bucket yields O(bucket^2) pairs — the
+    classic LSH-at-scale failure. A pair lost to one oversized bucket still
+    has the other bands to surface in, and a bucket that large means the
+    band carries ~no discriminating information anyway."""
     sig = sig.withColumn("_n", F.size("sig"))
     rows_per_band = F.floor(F.col("_n") / bands).cast("int")
     banded = sig.select(
@@ -65,6 +73,12 @@ def lsh_candidate_pairs(sig: DataFrame, name_col: str = "name", bands: int = 4) 
             )
         ).alias("band_id", "band"),
     ).withColumn("bucket", F.hash("band_id", F.col("band").cast("string")))
+    bucket_w = Window.partitionBy("band_id", "bucket")
+    banded = (
+        banded.withColumn("_sz", F.count(F.lit(1)).over(bucket_w))
+        .filter(F.col("_sz") <= max_bucket)
+        .drop("_sz")
+    )
     left = banded.select(F.col("name").alias("a"), "band_id", "bucket")
     right = banded.select(F.col("name").alias("b"), "band_id", "bucket")
     return (
@@ -97,13 +111,24 @@ def jaccard_filter(pairs: DataFrame, sh: DataFrame, name_col: str = "name", thre
     )
 
 
-def connected_components(edges: DataFrame, nodes: DataFrame, name_col: str = "name", max_iters: int = 20) -> DataFrame:
-    """(a,b) undirected edges + (name) nodes -> (name, component) where
-    component = min name reachable. Iterative min-label propagation with a
-    fixpoint check; lineage cut via localCheckpoint each iteration."""
-    labels = nodes.select(F.col(name_col).alias("name"), F.col(name_col).alias("component"))
+def connected_components(edges: DataFrame, nodes: DataFrame | None = None, name_col: str = "name", max_iters: int = 20) -> DataFrame:
+    """(a,b) undirected edges [+ optional (name) isolated nodes] ->
+    (name, component) where component = min name reachable. Iterative
+    min-label propagation with a fixpoint check; lineage cut via
+    localCheckpoint each iteration.
+
+    Only edge endpoints can ever change label, so when `nodes` is given its
+    edge-free members are unioned in as identity rows without entering the
+    iteration — at corpus scale the iterative joins then run on the (tiny)
+    near-duplicate subgraph, not the full entity vocabulary."""
+    # checkpoint the symmetric edge set FIRST and derive endpoints/labels
+    # from it: every fixpoint-check count below is an action, and without
+    # the cut each one would re-evaluate the whole upstream (LSH banding +
+    # Jaccard verify) per iteration
     sym = edges.select("a", "b").union(edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
     sym = sym.distinct().localCheckpoint(eager=True)
+    endpoints = sym.select(F.col("a").alias("name")).distinct().localCheckpoint(eager=True)
+    labels = endpoints.select("name", F.col("name").alias("component"))
     for _ in range(max_iters):
         neigh = (
             sym.join(labels.withColumnRenamed("name", "b"), on="b")
@@ -125,6 +150,11 @@ def connected_components(edges: DataFrame, nodes: DataFrame, name_col: str = "na
         labels = new_labels
         if changed == 0:
             break
+    if nodes is not None:
+        isolated = nodes.select(F.col(name_col).alias("name")).join(
+            endpoints, on="name", how="left_anti"
+        )
+        labels = labels.union(isolated.select("name", F.col("name").alias("component")))
     return labels
 
 
@@ -133,16 +163,19 @@ def canonicalize_names(
     name_col: str = "name",
     k: int = 3,
     num_hashes: int = 16,
-    bands: int = 4,
+    bands: int = 8,
     threshold: float = 0.9,
     max_iters: int = 20,
+    max_bucket: int = 64,
 ) -> DataFrame:
     """(name) distinct -> (name, canonical). Names in the same near-duplicate
     component share the lexicographically smallest member as canonical."""
     names = names.select(F.col(name_col).alias("name")).distinct()
     sh = shingles(names, "name", k).localCheckpoint(eager=True)
     sig = minhash_signatures(sh, "name", num_hashes)
-    pairs = lsh_candidate_pairs(sig, "name", bands)
+    pairs = lsh_candidate_pairs(sig, "name", bands, max_bucket)
     edges = jaccard_filter(pairs, sh, "name", threshold)
-    comp = connected_components(edges, names, "name", max_iters)
+    # CC over edge members only; names with no near-duplicate are identity
+    # and are NOT returned — callers coalesce(canonical, name)
+    comp = connected_components(edges, nodes=None, name_col="name", max_iters=max_iters)
     return comp.withColumnRenamed("component", "canonical")

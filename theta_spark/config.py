@@ -25,12 +25,19 @@ PREDICATES = ["defines", "imports", "calls", "contains", "instance_of"]
 class PipelineConfig:
     max_length: int = 128          # tokenizer max length (reference default shape)
     confidence: float = 0.0        # decode confidence threshold
+    fuse_doc_stage: bool = True    # fuse seg+score+decode+dedup per doc (no
+                                   # shuffle); False = relational seg-level path
     min_mention_len: int = 1
     # canonicalization
     shingle_k: int = 3
     minhash_rows: int = 16         # signature length
-    lsh_bands: int = 4             # bands for LSH bucketing
-    jaccard_threshold: float = 0.5
+    lsh_bands: int = 8             # bands for LSH bucketing; 16 hashes / 8
+                                   # bands = rows 2 -> ~(1/8)^(1/2)=0.35 LSH
+                                   # threshold, high recall at jaccard 0.5
+    # 0.9 merges true near-dups (shared_util/shared_utils: 9/10 shingles)
+    # while keeping sibling identifiers apart (helper3_1/helper3_2: 0.75);
+    # 0.5 was measured to collapse the 500-doc corpus to ~50 components
+    jaccard_threshold: float = 0.9
     cc_max_iters: int = 20
     # scale knobs
     shuffle_partitions: int = 32

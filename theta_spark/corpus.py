@@ -179,9 +179,16 @@ def generate_doc(rng: random.Random, i: int) -> Doc:
     return Doc(repo, path, commit, lang, content, b.mentions, triples)
 
 
+def doc_rng(seed: int, i: int) -> random.Random:
+    """Per-doc RNG keyed (seed, i): doc i's content is independent of how
+    many docs are generated or on which executor — the property that lets
+    corpus synthesis distribute over spark.range without a sequential
+    driver-side RNG."""
+    return random.Random(f"{seed}:{i}")
+
+
 def generate_corpus(n_docs: int, seed: int = 42) -> list[Doc]:
-    rng = random.Random(seed)
-    return [generate_doc(rng, i) for i in range(n_docs)]
+    return [generate_doc(doc_rng(seed, i), i) for i in range(n_docs)]
 
 
 # ---------------------------------------------------------------- Spark side
@@ -212,9 +219,32 @@ def gold_triple_rows(docs: list[Doc]):
     return sorted(out)
 
 
-def corpus_df(spark, n_docs: int, seed: int = 42, num_partitions: int | None = None):
-    docs = generate_corpus(n_docs, seed)
-    df = spark.createDataFrame(corpus_rows(docs), schema=CORPUS_SCHEMA)
-    if num_partitions:
-        df = df.repartition(num_partitions)
+def corpus_df(spark, n_docs: int, seed: int = 42, num_partitions: int | None = None, with_docs: bool = True):
+    """Synthesize the corpus as a DataFrame.
+
+    Generation is distributed: spark.range(n_docs) -> mapInPandas, each
+    executor generating its ids with the per-doc RNG — no driver-side list,
+    no createDataFrame serialization wall at large n_docs. `with_docs=True`
+    (small/test scale only) additionally returns the driver-side Doc list
+    (with gold mentions/triples); pass False for bench-scale corpora.
+    """
+    num_partitions = num_partitions or max(8, n_docs // 2000)
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = [generate_doc(doc_rng(seed, int(i)), int(i)) for i in pdf["id"]]
+            yield pd.DataFrame(
+                {
+                    "repo": [d.repo for d in rows],
+                    "path": [d.path for d in rows],
+                    "commit": [d.commit for d in rows],
+                    "lang": [d.lang for d in rows],
+                    "content": [d.content for d in rows],
+                }
+            )
+
+    df = spark.range(n_docs).repartition(num_partitions).mapInPandas(gen, CORPUS_SCHEMA)
+    docs = generate_corpus(n_docs, seed) if with_docs else None
     return df, docs

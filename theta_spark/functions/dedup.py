@@ -1,0 +1,104 @@
+"""Document-deduplication operators for training-data pipelines:
+
+- exact dedup: sha256 groupBy (see queries g2_dedup_docs)
+- n-gram Jaccard near-dup: word-shingle MinHash + LSH banding + exact
+  Jaccard verify (reuses theta_spark.canonicalize, which is built for
+  entity names — here applied to document shingle sets)
+- SimHash near-dup: 64-bit sign-aggregated token hashes, Hamming-bucket
+  join (vectorized pandas UDF for the bit math; banding is relational)
+- embedding-cosine near-dup: see functions.similarity
+
+Scale notes: every step is blocked (LSH bands / simhash prefixes) — no
+O(n^2) cross joins; the verify joins run on candidate pairs only.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+from theta_spark.canonicalize import jaccard_filter, lsh_candidate_pairs, minhash_signatures
+
+
+def word_shingles(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> DataFrame:
+    """(id, text) -> (id, shingle) distinct word-k-gram strings."""
+    toks = F.filter(F.split(F.trim(F.lower(F.col(text_col))), r"\s+"), lambda t: t != "")
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(toks) - k, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)),
+    )
+    return df.select(
+        F.col(id_col).alias("name"), F.explode(F.array_distinct(grams)).alias("shingle")
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    num_hashes: int = 16,
+    bands: int = 8,
+    threshold: float = 0.8,
+    max_bucket: int = 64,
+) -> DataFrame:
+    """Near-duplicate document pairs (a, b, jaccard) with word-k-gram
+    Jaccard >= threshold, found via MinHash-LSH blocking."""
+    sh = word_shingles(df, id_col, text_col, k)
+    sig = minhash_signatures(sh, "name", num_hashes)
+    pairs = lsh_candidate_pairs(sig, "name", bands, max_bucket)
+    return jaccard_filter(pairs, sh, "name", threshold)
+
+
+def _simhash64_batch(texts: pd.Series) -> pd.Series:
+    """64-bit SimHash over whitespace tokens (md5-derived per-token hashes,
+    sign-aggregated per bit). Vectorized per Arrow batch."""
+    import hashlib
+
+    shifts = np.arange(64, dtype=np.uint64)
+    one = np.uint64(1)
+    out = np.zeros(len(texts), dtype=np.int64)
+    for row, text in enumerate(texts):
+        acc = np.zeros(64, dtype=np.int64)
+        for tok in (text or "").lower().split():
+            h = np.frombuffer(hashlib.md5(tok.encode()).digest()[:8], dtype=">u8")[0]
+            bits = (h >> shifts) & one
+            acc += np.where(bits == one, 1, -1)
+        u = int(np.sum((acc > 0).astype(np.uint64) << shifts, dtype=np.uint64))
+        out[row] = u - (1 << 64) if u >= (1 << 63) else u  # two's-complement wrap
+    return pd.Series(out)
+
+
+def simhash64(col):
+    """pandas_udf wrapper built lazily (type parsing needs a live session)."""
+    return pandas_udf(_simhash64_batch, "long")(col)
+
+
+def simhash_near_dups(df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3) -> DataFrame:
+    """Candidate near-dup pairs by SimHash: band the 64-bit hash into 4
+    16-bit chunks (pigeonhole: hamming<=3 pairs share >=1 exact chunk),
+    bucket-join on chunks, verify hamming distance relationally via
+    bit_count(xor). Returns (a, b, hamming)."""
+    h = df.select(F.col(id_col).alias("id"), simhash64(F.col(text_col)).alias("sh"))
+    chunks = h.select(
+        "id",
+        "sh",
+        F.posexplode(
+            F.array(*[F.shiftrightunsigned("sh", 16 * i).bitwiseAND(F.lit(0xFFFF)) for i in range(4)])
+        ).alias("chunk_id", "chunk"),
+    )
+    left = chunks.select(F.col("id").alias("a"), F.col("sh").alias("sh_a"), "chunk_id", "chunk")
+    right = chunks.select(F.col("id").alias("b"), F.col("sh").alias("sh_b"), "chunk_id", "chunk")
+    pairs = (
+        left.join(right, on=["chunk_id", "chunk"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b", "sh_a", "sh_b")
+        .distinct()
+    )
+    return pairs.withColumn(
+        "hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    ).filter(F.col("hamming") <= max_hamming).select("a", "b", "hamming")

@@ -1,0 +1,129 @@
+"""Similarity search over an embedding column (array<float>):
+
+- brute-force cosine top-k (baseline): dot product via F.zip_with +
+  F.aggregate — JVM-side higher-order functions, no UDF;
+- IVF-style blocked top-k (scale path): restrict the candidate join to a
+  coarse cell (here the precomputed `label` column; at scale the cell id
+  comes from a k-means/LSH assignment) — turns the O(N*Q) cross join into
+  per-cell joins;
+- embedding-cosine near-dup pairs for dedup.
+
+Scale notes: the query side is broadcast (queries << corpus); the corpus
+side never shuffles for brute force. For IVF the join is an equi-join on
+cell id, so AQE handles per-cell skew.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a, b):
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, v: s + v)
+
+
+def _norm(a):
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda s, v: s + v * v))
+
+
+def cosine(a, b):
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def with_unit_vec(df: DataFrame, vec_col: str = "embedding", out_col: str = "unit") -> DataFrame:
+    """Pre-normalize once so each pair costs one dot product, not two extra
+    norms (norms over the corpus are O(N*d) once instead of O(N*Q*d))."""
+    v = F.col(vec_col).cast("array<double>")
+    n = _norm(v)
+    return df.withColumn(out_col, F.transform(v, lambda x: x / n))
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(query_id, neighbor_id, cos_sim, rank): exact top-k cosine neighbors
+    of each query vector over the corpus (self-match excluded). The query
+    side is broadcast; ranking is a per-query window."""
+    c = with_unit_vec(corpus, vec_col).select(F.col(id_col).alias("neighbor_id"), F.col("unit").alias("cu"))
+    q = with_unit_vec(queries, vec_col).select(F.col(id_col).alias("query_id"), F.col("unit").alias("qu"))
+    # rank on the ROUNDED similarity with an id tiebreak: the fold order of
+    # the dot product is fixed (left-to-right over the array) so the rounded
+    # double is bit-reproducible across engines, making top-k deterministic
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(_dot(F.col("cu"), F.col("qu")), 4).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rk")
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cell_col: str = "label",
+) -> DataFrame:
+    """IVF-style approximate top-k: candidates restricted to the query's
+    coarse cell (equi-join on cell id instead of a cross join)."""
+    c = with_unit_vec(corpus, vec_col).select(
+        F.col(cell_col).alias("cell"), F.col(id_col).alias("neighbor_id"), F.col("unit").alias("cu")
+    )
+    q = with_unit_vec(queries, vec_col).select(
+        F.col(cell_col).alias("cell"), F.col(id_col).alias("query_id"), F.col("unit").alias("qu")
+    )
+    scored = (
+        c.join(F.broadcast(q), on="cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(_dot(F.col("cu"), F.col("qu")), 4).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rk")
+    )
+
+
+def cosine_near_dup_pairs(
+    df: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cell_col: str | None = "label",
+) -> DataFrame:
+    """Embedding near-duplicate pairs (a, b, cos_sim >= threshold). Blocked
+    by the coarse cell when available (near-dups land in the same cell)."""
+    u = with_unit_vec(df, vec_col)
+    left_cols = [F.col(id_col).alias("a"), F.col("unit").alias("ua")]
+    right_cols = [F.col(id_col).alias("b"), F.col("unit").alias("ub")]
+    if cell_col:
+        left = u.select(F.col(cell_col).alias("cell"), *left_cols)
+        right = u.select(F.col(cell_col).alias("cell"), *right_cols)
+        pairs = left.join(right, on="cell")
+    else:
+        pairs = u.select(*left_cols).crossJoin(u.select(*right_cols))
+    return (
+        pairs.filter(F.col("a") < F.col("b"))
+        .select("a", "b", F.round(_dot(F.col("ua"), F.col("ub")), 4).alias("cos_sim"))
+        .filter(F.col("cos_sim") >= threshold)
+    )

@@ -23,6 +23,49 @@ MENTION_RAW_SCHEMA = (
     "start int, end int, mention string, indent int"
 )
 
+MENTION_DOC_SCHEMA = (
+    "doc_id string, sha256 string, category_id int, start int, end int, "
+    "mention string, indent int"
+)
+
+
+def extract_doc_mentions_df(docs_df: DataFrame, seg_len: int, seg_stride: int, confidence: float = 0.0) -> DataFrame:
+    """Fused per-document stage: sliding-window segmentation + score +
+    decode + un-shift + order-preserving dedup in ONE mapInPandas — the
+    reference's per-guid dataflow (task_ner.py:183-233 segmentation,
+    594-654 decode, 1391-1415 merge/dedup) executed per Arrow batch.
+
+    Why fuse: segmentation is a narrow fan-out, so all segments of a doc
+    are born colocated; running dedup relationally forces a shuffle of the
+    ~5x-expanded raw-mention stream that carries zero information (the
+    duplicates it removes are window-overlap artifacts local to one doc).
+    Fusing removes that shuffle entirely; the first wide exchange in the
+    pipeline is then the (much smaller) deduped doc-level mention stream
+    entering triple assembly. Bounded-size docs (source files) make the
+    per-doc unit safe; for unbounded docs use the relational
+    segment()+score_and_decode()+dedup path below.
+
+    Also carries the per-row sha256(content) invariant (input_hint).
+    """
+    from theta_spark.reference_impl import extract_doc_mentions
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in
+                   ("doc_id", "sha256", "category_id", "start", "end", "mention", "indent")}
+            for doc_id, sha, text in zip(pdf["doc_id"], pdf["sha256"], pdf["text"]):
+                for m in extract_doc_mentions(text, seg_len, seg_stride, confidence):
+                    out["doc_id"].append(doc_id)
+                    out["sha256"].append(sha)
+                    out["category_id"].append(m["category_id"])
+                    out["start"].append(m["start"])
+                    out["end"].append(m["end"])
+                    out["mention"].append(m["mention"])
+                    out["indent"].append(m["indent"])
+            yield pd.DataFrame(out)
+
+    return docs_df.select("doc_id", "sha256", "text").mapInPandas(run, MENTION_DOC_SCHEMA)
+
 
 def score_and_decode(seg_df: DataFrame, confidence: float = 0.0) -> DataFrame:
     """segments(doc_id, seg_id, s_seg, seg_text) -> raw mentions in the

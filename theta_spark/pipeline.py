@@ -26,7 +26,7 @@ from pyspark.sql import functions as F
 
 from theta_spark.canonicalize import canonicalize_names
 from theta_spark.config import PipelineConfig
-from theta_spark.operators.extract import score_and_decode
+from theta_spark.operators.extract import extract_doc_mentions_df, score_and_decode
 from theta_spark.operators.merge import dedup_mentions, unshift_mentions
 from theta_spark.operators.segmentation import segment
 from theta_spark.operators.triples import assemble_triples, with_category_names, with_norm
@@ -46,12 +46,20 @@ def with_doc_id(corpus: DataFrame) -> DataFrame:
 
 
 def extract_mentions_df(corpus: DataFrame, cfg: PipelineConfig | None = None) -> DataFrame:
-    """corpus -> deduped document-level mentions with category names + norms."""
+    """corpus -> deduped document-level mentions with category names + norms.
+
+    Default path fuses segmentation+score+decode+dedup per doc in one
+    narrow mapInPandas stage (zero shuffles before triple assembly); set
+    cfg.fuse_doc_stage=False for the relational segment-level path (for
+    unbounded-size documents where per-doc processing could skew)."""
     cfg = cfg or PipelineConfig()
     docs = with_doc_id(corpus)
-    segs = segment(docs, "text", cfg.seg_len, cfg.seg_stride)
-    raw = score_and_decode(segs, cfg.confidence)
-    mentions = dedup_mentions(unshift_mentions(raw))
+    if cfg.fuse_doc_stage:
+        mentions = extract_doc_mentions_df(docs, cfg.seg_len, cfg.seg_stride, cfg.confidence)
+    else:
+        segs = segment(docs, "text", cfg.seg_len, cfg.seg_stride)
+        raw = score_and_decode(segs, cfg.confidence)
+        mentions = dedup_mentions(unshift_mentions(raw))
     return with_norm(with_category_names(mentions))
 
 

@@ -451,3 +451,279 @@ def d3_gaps_islands(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("n_events"), F.min("event_id").alias("first_event"))
         .orderBy("user_id", "session_id")
     )
+
+
+# ===================================================================
+# Training-data pipeline operators (dedup / similarity / text analysis)
+# over the documents + embeddings tables.
+# ===================================================================
+
+@query(
+    "t_text_stats",
+    r"""
+    WITH t AS (
+      SELECT doc_id, text,
+             list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), x -> x != '') AS ltoks,
+             list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x != '') AS toks
+      FROM documents
+    ), m AS (
+      SELECT doc_id, text, toks, ltoks,
+             len(toks) AS n_tokens,
+             CASE WHEN len(ltoks) > 0
+                  THEN len(list_filter(ltoks, x -> list_contains(['the','a','an','and','or','of','to','in','is','it'], x)))::DOUBLE / len(ltoks)
+                  ELSE 0.0 END AS stop_r,
+             CASE WHEN length(text) > 0
+                  THEN (length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')))::DOUBLE / length(text)
+                  ELSE 0.0 END AS punct_r,
+             CASE WHEN len(toks) > 0
+                  THEN list_sum(list_transform(toks, x -> length(x)))::DOUBLE / len(toks)
+                  ELSE 0.0 END AS mtl,
+             CASE WHEN length(text) > 0
+                  THEN (length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')))::DOUBLE / length(text)
+                  ELSE 0.0 END AS ascii_r
+      FROM t
+    )
+    SELECT doc_id,
+           n_tokens,
+           len(regexp_extract_all(text, '([A-Za-z0-9]{1,4}|[^A-Za-z0-9\s])', 1)) AS n_bpe,
+           ROUND(stop_r, 4) AS stop_ratio,
+           ROUND(punct_r, 4) AS punct_ratio,
+           ROUND((
+             (CASE WHEN n_tokens >= 10 AND n_tokens <= 100000 THEN 1.0 ELSE 0.0 END) +
+             (CASE WHEN stop_r >= 0.05 THEN 1.0 ELSE 0.0 END) +
+             (CASE WHEN punct_r <= 0.2 THEN 1.0 ELSE 0.0 END) +
+             (CASE WHEN mtl >= 2.0 AND mtl <= 12.0 THEN 1.0 ELSE 0.0 END)
+           ) / 4.0, 2) AS quality,
+           CASE WHEN ascii_r >= 0.4 AND stop_r > 0 THEN 'en'
+                WHEN ascii_r >= 0.4 THEN 'other_latin'
+                ELSE 'non_latin' END AS lang_pred
+    FROM m ORDER BY doc_id
+    """,
+)
+def t_text_stats(spark, sf_dir):
+    """Text analysis: token counting (whitespace + BPE-ish regex), quality
+    scoring (length/stopword/punct/token-length heuristics), language-ID
+    heuristic — all JVM column expressions (functions.text)."""
+    from theta_spark.functions import text as T
+
+    c = F.col("text")
+    return (
+        _load(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            T.token_count(c).alias("n_tokens"),
+            T.bpe_ish_token_count(c).alias("n_bpe"),
+            F.round(T.stopword_ratio(c), 4).alias("stop_ratio"),
+            F.round(T.punct_ratio(c), 4).alias("punct_ratio"),
+            F.round(T.quality_score(c), 2).alias("quality"),
+            T.lang_id(c).alias("lang_pred"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "t_fingerprint",
+    r"""
+    SELECT doc_id,
+           list_min(list_transform(
+             generate_series(1, greatest(length(lower(text)) - 7, 1)),
+             i -> md5(substr(lower(text), i, 8)))) AS fp
+    FROM documents ORDER BY doc_id
+    """,
+)
+def t_fingerprint(spark, sf_dir):
+    """Document fingerprinting: winnowing-style min-hash over char-8-gram
+    shingles (functions.text.fingerprint); md5-based, DuckDB-reproducible."""
+    from theta_spark.functions.text import fingerprint
+
+    return (
+        _load(spark, sf_dir, "documents")
+        .select("doc_id", fingerprint(F.col("text"), 8).alias("fp"))
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "dd_ngram_jaccard",
+    r"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), x -> x != '') AS tk
+      FROM documents
+    ), grams AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               generate_series(0, greatest(len(tk) - 3, 0)),
+               i -> array_to_string(list_slice(tk, i + 1, i + 3), ' '))) AS g
+      FROM toks
+    )
+    SELECT a.doc_id AS a, b.doc_id AS b,
+           ROUND(len(list_intersect(a.g, b.g))::DOUBLE
+                 / len(list_distinct(a.g || b.g)), 4) AS jaccard
+    FROM grams a JOIN grams b ON a.doc_id < b.doc_id
+    WHERE len(list_intersect(a.g, b.g))::DOUBLE / len(list_distinct(a.g || b.g)) >= 0.8
+    ORDER BY a, b
+    """,
+)
+def dd_ngram_jaccard(spark, sf_dir):
+    """Near-dup doc pairs by word-3-gram Jaccard >= 0.8 via MinHash-LSH
+    blocking + exact verify (functions.dedup). The oracle computes the
+    exact all-pairs answer; LSH recall at this threshold is ~99.97%."""
+    from theta_spark.functions.dedup import ngram_jaccard_pairs
+
+    d = _load(spark, sf_dir, "documents").select("doc_id", "text")
+    return (
+        ngram_jaccard_pairs(d, "doc_id", "text", k=3, threshold=0.8)
+        .select("a", "b", F.round("jaccard", 4).alias("jaccard"))
+        .orderBy("a", "b")
+    )
+
+
+@query(
+    "dd_simhash",
+    r"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), x -> x != '') AS tk
+      FROM documents
+    ), h AS (
+      SELECT doc_id,
+             CAST(CASE WHEN u >= 9223372036854775808::UBIGINT
+                       THEN u::HUGEINT - 18446744073709551616::HUGEINT
+                       ELSE u::HUGEINT END AS BIGINT) AS sh
+      FROM (
+        SELECT doc_id,
+               list_sum(list_transform(generate_series(0, 63), b ->
+                 CASE WHEN COALESCE(list_sum(list_transform(tk, t ->
+                        CASE WHEN (('0x' || substr(md5(t), 1, 16))::UBIGINT >> b) & 1 = 1
+                             THEN 1 ELSE -1 END)), 0) > 0
+                      THEN (1::UBIGINT << b) ELSE 0::UBIGINT END))::UBIGINT AS u
+        FROM toks
+      )
+    )
+    SELECT a.doc_id AS a, b.doc_id AS b, bit_count(xor(a.sh, b.sh)) AS hamming
+    FROM h a JOIN h b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.sh, b.sh)) <= 3
+    ORDER BY a, b
+    """,
+)
+def dd_simhash(spark, sf_dir):
+    """SimHash near-dup pairs (hamming <= 3) via 16-bit-chunk banding
+    (pigeonhole-complete) + bit_count verify. The oracle recomputes the
+    64-bit simhash in SQL bit-for-bit (md5 token hashes, sign aggregation,
+    two's-complement wrap)."""
+    from theta_spark.functions.dedup import simhash_near_dups
+
+    d = _load(spark, sf_dir, "documents").select("doc_id", "text")
+    return simhash_near_dups(d, "doc_id", "text", max_hamming=3).orderBy("a", "b")
+
+
+_UNIT_CTE = r"""
+    WITH u AS (
+      SELECT vec_id, label,
+             list_transform(embedding, x -> x::DOUBLE /
+               sqrt(list_sum(list_transform(embedding, y -> y::DOUBLE * y::DOUBLE)))) AS unit
+      FROM embeddings
+    )
+"""
+
+
+@query(
+    "sim_bruteforce_topk",
+    _UNIT_CTE
+    + r"""
+    , q AS (SELECT vec_id AS query_id, unit AS qu FROM u WHERE vec_id % 25 = 0),
+    scored AS (
+      SELECT q.query_id, c.vec_id AS neighbor_id,
+             ROUND(list_sum(list_transform(generate_series(1, 64), i -> c.unit[i] * q.qu[i])), 4) AS cos_sim
+      FROM u c, q WHERE c.vec_id <> q.query_id
+    )
+    SELECT query_id, neighbor_id, cos_sim, rk FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rk
+      FROM scored
+    ) WHERE rk <= 5 ORDER BY query_id, rk
+    """,
+)
+def sim_bruteforce_topk(spark, sf_dir):
+    """ANN baseline: exact brute-force cosine top-5 for query vectors
+    (vec_id % 25 == 0) over the embeddings table — zip_with/aggregate dot
+    products, broadcast query side, per-query window rank."""
+    from theta_spark.functions.similarity import brute_force_topk
+
+    e = _load(spark, sf_dir, "embeddings")
+    qs = e.filter(F.col("vec_id") % 25 == 0)
+    return brute_force_topk(e, qs, k=5).orderBy("query_id", "rk")
+
+
+@query(
+    "sim_ivf_topk",
+    _UNIT_CTE
+    + r"""
+    , q AS (SELECT vec_id AS query_id, label, unit AS qu FROM u WHERE vec_id % 25 = 0),
+    scored AS (
+      SELECT q.query_id, c.vec_id AS neighbor_id,
+             ROUND(list_sum(list_transform(generate_series(1, 64), i -> c.unit[i] * q.qu[i])), 4) AS cos_sim
+      FROM u c JOIN q ON c.label = q.label AND c.vec_id <> q.query_id
+    )
+    SELECT query_id, neighbor_id, cos_sim, rk FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rk
+      FROM scored
+    ) WHERE rk <= 5 ORDER BY query_id, rk
+    """,
+)
+def sim_ivf_topk(spark, sf_dir):
+    """IVF-style ANN: candidates restricted to the query's coarse cell
+    (label column as the cell id) — equi-join instead of cross join; the
+    scale path for 10^9-vector corpora."""
+    from theta_spark.functions.similarity import ivf_topk
+
+    e = _load(spark, sf_dir, "embeddings")
+    qs = e.filter(F.col("vec_id") % 25 == 0)
+    return ivf_topk(e, qs, k=5).orderBy("query_id", "rk")
+
+
+@query(
+    "dd_cosine_near_dup",
+    _UNIT_CTE
+    + r"""
+    SELECT a.vec_id AS a, b.vec_id AS b,
+           ROUND(list_sum(list_transform(generate_series(1, 64), i -> a.unit[i] * b.unit[i])), 4) AS cos_sim
+    FROM u a JOIN u b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE ROUND(list_sum(list_transform(generate_series(1, 64), i -> a.unit[i] * b.unit[i])), 4) >= 0.35
+    ORDER BY a, b
+    """,
+)
+def dd_cosine_near_dup(spark, sf_dir):
+    """Embedding-cosine near-dup pairs (>= 0.35) blocked by coarse cell."""
+    from theta_spark.functions.similarity import cosine_near_dup_pairs
+
+    e = _load(spark, sf_dir, "embeddings")
+    return cosine_near_dup_pairs(e, threshold=0.35).orderBy("a", "b")
+
+
+# rows-only (no SQL twin): multimodal feature extraction — binary payload
+# decode is not SQL-expressible; plumbing is pytest-covered.
+@query("mm_media_features")
+def mm_media_features(spark, sf_dir):
+    """Multimodal plumbing: documents -> synthetic binary media table ->
+    Arrow-batched feature extraction (functions.multimodal; decode stubbed
+    deterministically, real decoder drops into _decode_bytes)."""
+    from theta_spark.functions.multimodal import extract_media_features, synth_media_df
+
+    d = _load(spark, sf_dir, "documents")
+    media = synth_media_df(spark, d, id_col="doc_id", text_col="text")
+    return extract_media_features(media, fake_decode=True).orderBy("media_id")
+
+
+# rows-only: the flagship KG pipeline itself on the synthetic corpus (the
+# 3-way differential in tests/ is its correctness gate; DuckDB cannot run
+# the pandas-UDF scoring stage).
+@query("kg_triples")
+def kg_triples(spark, sf_dir):
+    from theta_spark.corpus import corpus_df
+    from theta_spark.pipeline import extract_triples
+
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    corpus, _ = corpus_df(spark, n_docs, seed=42, num_partitions=8, with_docs=False)
+    return extract_triples(corpus).orderBy("doc_id", "pred", "subj", "obj")
