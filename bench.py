@@ -40,9 +40,16 @@ def _sf_of(sf_dir: str) -> float:
         return -1.0
 
 
-def run_bench(sf_dir: str | None = None, cpus: str | None = None, n_docs: int | None = None) -> dict:
+def run_bench(
+    sf_dir: str | None = None,
+    cpus: str | None = None,
+    n_docs: int | None = None,
+    skip_graph: bool | None = None,
+) -> dict:
     sf_dir = sf_dir or os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = cpus or os.environ.get("SPARK_GRAFT_CPUS", "32")
+    if skip_graph is None:
+        skip_graph = os.environ.get("SPARK_GRAFT_BENCH_SKIP_GRAPH") == "1"
 
     from theta_spark.session import get_spark
 
@@ -76,7 +83,19 @@ def run_bench(sf_dir: str | None = None, cpus: str | None = None, n_docs: int | 
     workdir = tempfile.mkdtemp(prefix="kgbench_")
     try:
         t0 = time.time()
-        stages = run_pipeline(spark, corpus, workdir, cfg, resume=False)
+        if skip_graph:
+            from theta_spark.operators.triples import assemble_triples
+            from theta_spark.pipeline import extract_mentions_df, run_checkpointed
+
+            mentions = run_checkpointed(
+                spark, workdir, "mentions", lambda: extract_mentions_df(corpus, cfg), resume=False
+            )
+            triples = run_checkpointed(
+                spark, workdir, "triples", lambda: assemble_triples(mentions), resume=False
+            )
+            stages = {"mentions": mentions, "triples": triples}
+        else:
+            stages = run_pipeline(spark, corpus, workdir, cfg, resume=False)
         t_all = time.time() - t0
         n_mentions = stages["mentions"].count()
         n_triples = stages["triples"].count()
@@ -88,18 +107,28 @@ def run_bench(sf_dir: str | None = None, cpus: str | None = None, n_docs: int | 
             n_chars=int(n_chars),
             n_mentions=n_mentions,
             n_triples=n_triples,
-            n_nodes=stages["nodes"].count(),
-            n_edges=stages["edges"].count(),
             triples_per_sec=round(n_triples / t_extract, 1),
             docs_per_sec=round(n_docs / t_extract, 1),
             mb_per_sec=round(n_chars / 1e6 / t_extract, 2),
             end_to_end_sec=round(t_all, 3),
         )
+        if not skip_graph:
+            kg["n_nodes"] = stages["nodes"].count()
+            kg["n_edges"] = stages["edges"].count()
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
     corpus.unpersist()
 
     # --- representative relational queries (driver-contract subset) ---
+    if os.environ.get("SPARK_GRAFT_BENCH_KG_ONLY") == "1":
+        total = round(sum(timings.values()), 3)
+        result = {
+            "metric": "headline_total_sec", "value": total, "unit": "sec",
+            "queries": timings, "sf": _sf_of(sf_dir), "cpus": int(cpus), "kg": kg,
+        }
+        spark.stop()
+        return result
+
     headline = [
         "q1_pricing_summary",
         "q3_broadcast_join_agg",

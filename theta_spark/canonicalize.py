@@ -5,19 +5,31 @@ blocking plus connected components. Not present in the reference (its dedup
 is exact-key only — SURVEY.md §2.7); built Spark-first here:
 
 1. shingle each distinct name into char-k-grams (pure column exprs);
-2. MinHash signature: min over md5-derived 64-bit hashes per seed
-   (md5 so the DuckDB oracle can reproduce it bit-for-bit);
-3. LSH banding: names sharing any band bucket become candidate pairs —
-   this is the blocking join (no O(n^2) cross join);
-4. exact Jaccard filter on candidate pairs (shingle-set join + counts);
-5. connected components by iterative label propagation
-   (small-star style: label = min(label) over neighbors, localCheckpoint
-   every iteration to cut lineage), fixpoint when no label changes;
-6. canonical id = min name in each component.
+2. MinHash signature computed INLINE from the name string (array_min over
+   xxhash64 of the shingle array — a narrow projection, no shingle table,
+   no groupBy: entity names are short, so the whole signature is a few
+   hundred JVM hash calls per row);
+3. LSH banding: explode bands -> groupBy(band, bucket) -> collect_list ->
+   inline pair combinations. One shuffle; no bucket self-join, no window.
+   Oversized buckets (degenerate bands) are dropped (`max_bucket`);
+4. exact Jaccard verify computed INLINE from the two name strings
+   (array_intersect/array_union of their shingle arrays) — candidate
+   volume is driven by the corpus's real similarity structure (numeric-
+   suffix identifier families produce millions of 0.6-0.8-similar pairs at
+   1M names), so the verify must be a narrow expression, not a join
+   against an exploded shingle table;
+5. connected components by iterative min-label propagation over the (tiny)
+   surviving edge set, localCheckpoint per iteration, fixpoint on count;
+6. canonical id = min name in each component; identity names omitted.
 
 At 10^12-file scale the distinct-name table is orders of magnitude smaller
-than mentions; every step is shuffle-on-key with AQE, and step 5's join is
-on the current label (hash-partitioned, re-used across iterations).
+than mentions; the only wide ops are names.distinct(), the bucket groupBy,
+and the final small distinct — all shuffle-on-key with AQE.
+
+The exploded-shingle variants (shingles / minhash_signatures /
+jaccard_filter) are kept for LONG texts (document-level n-gram dedup in
+functions.dedup), where shingle sets are large and live in a table rather
+than being recomputed per candidate pair.
 """
 
 from __future__ import annotations
@@ -26,21 +38,46 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def shingles(df: DataFrame, name_col: str = "name", k: int = 3) -> DataFrame:
-    """(name) -> (name, shingle) distinct char-k-grams; short names yield the
-    whole name as a single shingle."""
-    arr = F.array_distinct(
-        F.expr(
-            f"transform(sequence(1, greatest(length({name_col}) - {k - 1}, 1)), i -> substr({name_col}, i, {k}))"
+def shingle_array(name_col, k: int = 3):
+    """Column expr: distinct char-k-gram array of a string column; short
+    strings yield the whole string as a single shingle."""
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.length(name_col) - (k - 1), F.lit(1))),
+            lambda i: name_col.substr(i, F.lit(k)),
         )
     )
-    return df.select(name_col, F.explode(arr).alias("shingle"))
+
+
+def shingles(df: DataFrame, name_col: str = "name", k: int = 3) -> DataFrame:
+    """(name) -> (name, shingle) exploded distinct char-k-grams (long-text
+    variant; for short names prefer the inline shingle_array)."""
+    return df.select(name_col, F.explode(shingle_array(F.col(name_col), k)).alias("shingle"))
 
 
 def _mh_hash(shingle_col, seed: int):
-    """Deterministic 60-bit hash from md5 — reproducible in DuckDB as
-    CAST(('0x' || substr(md5(...),1,15)) AS BIGINT)."""
-    return F.conv(F.substring(F.md5(F.concat(F.lit(f"{seed}#"), shingle_col)), 1, 15), 16, 10).cast("long")
+    """Deterministic 64-bit hash per seed (JVM xxhash64 — the MinHash is
+    engine-internal blocking, never compared against an oracle, so it needs
+    speed, not cross-engine reproducibility)."""
+    return F.xxhash64(F.lit(seed), shingle_col)
+
+
+def inline_signatures(
+    names: DataFrame, name_col: str = "name", k: int = 3, num_hashes: int = 16
+) -> DataFrame:
+    """(name) -> (name, sig array<long>) as a narrow projection: the MinHash
+    of a short string needs no shingle table and no aggregation."""
+    def _hash_with_seed(seed):
+        # NOTE: must be a one-arg lambda — a two-parameter lambda (e.g. a
+        # seed smuggled via default arg) is interpreted by F.transform as
+        # (element, index) and silently replaces the seed with the index
+        return lambda s: _mh_hash(s, seed)
+
+    sharr = shingle_array(F.col(name_col), k)
+    sig = F.array(
+        *[F.array_min(F.transform(sharr, _hash_with_seed(i))) for i in range(num_hashes)]
+    )
+    return names.select(F.col(name_col).alias("name"), sig.alias("sig"))
 
 
 def minhash_signatures(sh: DataFrame, name_col: str = "name", num_hashes: int = 16) -> DataFrame:
@@ -54,7 +91,9 @@ def lsh_candidate_pairs(
     sig: DataFrame, name_col: str = "name", bands: int = 8, max_bucket: int = 64
 ) -> DataFrame:
     """Band the signature; names sharing any (band_id, band_hash) bucket are
-    candidates. Returns (a, b) with a < b, distinct.
+    candidates. Returns (a, b) with a < b; the SAME pair may appear once per
+    matching band — run the (cheap) verify first and dedup the (small)
+    surviving edge set, not the raw candidate stream.
 
     `max_bucket` drops degenerate buckets (> max_bucket members) before the
     self-join: short identifier names share most of their few shingles, so
@@ -73,24 +112,45 @@ def lsh_candidate_pairs(
             )
         ).alias("band_id", "band"),
     ).withColumn("bucket", F.hash("band_id", F.col("band").cast("string")))
-    bucket_w = Window.partitionBy("band_id", "bucket")
-    banded = (
-        banded.withColumn("_sz", F.count(F.lit(1)).over(bucket_w))
-        .filter(F.col("_sz") <= max_bucket)
-        .drop("_sz")
+    # one shuffle: bucket members collected per (band, bucket); pair
+    # combinations generated inline (no self-join, no window count)
+    buckets = (
+        banded.groupBy("band_id", "bucket")
+        .agg(F.collect_list("name").alias("ms"))
+        .filter((F.size("ms") >= 2) & (F.size("ms") <= max_bucket))
     )
-    left = banded.select(F.col("name").alias("a"), "band_id", "bucket")
-    right = banded.select(F.col("name").alias("b"), "band_id", "bucket")
+    combos = F.flatten(
+        F.transform(
+            F.col("ms"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ms"), i + 2, F.size(F.col("ms"))),
+                lambda y: F.struct(
+                    F.least(x, y).alias("a"), F.greatest(x, y).alias("b")
+                ),
+            ),
+        )
+    )
+    return buckets.select(F.explode(combos).alias("p")).select("p.a", "p.b")
+
+
+def jaccard_inline(pairs: DataFrame, k: int = 3, threshold: float = 0.9) -> DataFrame:
+    """Exact Jaccard verify for SHORT-string pairs, computed inline from the
+    pair's own strings (array_intersect/union of shingle arrays) — a narrow
+    expression over the candidate stream; no join, no shuffle. Requires
+    unique pair rows downstream (callers distinct() the survivors)."""
+    sa = shingle_array(F.col("a"), k)
+    sb = shingle_array(F.col("b"), k)
+    j = F.size(F.array_intersect(sa, sb)) / F.size(F.array_union(sa, sb))
     return (
-        left.join(right, on=["band_id", "bucket"])
-        .filter(F.col("a") < F.col("b"))
-        .select("a", "b")
+        pairs.withColumn("jaccard", j)
+        .filter(F.col("jaccard") >= threshold)
         .distinct()
     )
 
 
 def jaccard_filter(pairs: DataFrame, sh: DataFrame, name_col: str = "name", threshold: float = 0.9) -> DataFrame:
-    """Exact Jaccard over shingle sets for candidate pairs only."""
+    """Exact Jaccard over shingle sets for candidate pairs only (long-text
+    variant joining the exploded shingle table; pairs must be distinct)."""
     sizes = sh.groupBy(name_col).agg(F.count(F.lit(1)).alias("sz"))
     sh_a = sh.select(F.col(name_col).alias("a"), "shingle")
     sh_b = sh.select(F.col(name_col).alias("b"), "shingle")
@@ -171,10 +231,9 @@ def canonicalize_names(
     """(name) distinct -> (name, canonical). Names in the same near-duplicate
     component share the lexicographically smallest member as canonical."""
     names = names.select(F.col(name_col).alias("name")).distinct()
-    sh = shingles(names, "name", k).localCheckpoint(eager=True)
-    sig = minhash_signatures(sh, "name", num_hashes)
+    sig = inline_signatures(names, "name", k, num_hashes)
     pairs = lsh_candidate_pairs(sig, "name", bands, max_bucket)
-    edges = jaccard_filter(pairs, sh, "name", threshold)
+    edges = jaccard_inline(pairs, k, threshold)
     # CC over edge members only; names with no near-duplicate are identity
     # and are NOT returned — callers coalesce(canonical, name)
     comp = connected_components(edges, nodes=None, name_col="name", max_iters=max_iters)

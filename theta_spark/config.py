@@ -31,9 +31,12 @@ class PipelineConfig:
     # canonicalization
     shingle_k: int = 3
     minhash_rows: int = 16         # signature length
-    lsh_bands: int = 8             # bands for LSH bucketing; 16 hashes / 8
-                                   # bands = rows 2 -> ~(1/8)^(1/2)=0.35 LSH
-                                   # threshold, high recall at jaccard 0.5
+    lsh_bands: int = 4             # 16 hashes / 4 bands = 4 rows/band ->
+                                   # LSH threshold ~(1/4)^(1/4)=0.71: 98.6%
+                                   # recall at jaccard 0.9 while admitting
+                                   # only ~42% of j~0.6 noise pairs (numeric-
+                                   # suffix identifier families are the
+                                   # candidate-volume driver at scale)
     # 0.9 merges true near-dups (shared_util/shared_utils: 9/10 shingles)
     # while keeping sibling identifiers apart (helper3_1/helper3_2: 0.75);
     # 0.5 was measured to collapse the 500-doc corpus to ~50 components

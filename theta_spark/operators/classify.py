@@ -1,0 +1,85 @@
+"""Sequence-classification stage (SURVEY.md M6 glue classifier + D6 decode
++ A6 metrics) — the reference's glue task shape
+(theta/nlp/tasks/task_glue.py:295-454 model, 653-665/720-725 decode,
+46-63 metrics) re-expressed as one Arrow-batched scoring stage.
+
+The deterministic stand-in scorer hashes the text per class (md5), so the
+DuckDB oracle reproduces predictions bit-for-bit; a real
+AutoModelForSequenceClassification drops into `score_batch` behind the
+same (texts -> logits) contract.
+
+Label space: 0-based ids, multi-label = k-hot (reference:
+theta/nlp/data/samples.py:93-98, task_glue.py:96-101).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame
+
+
+def _logit(text: str, k: int) -> float:
+    """Deterministic per-(text, class) score in [0, 1): the first 8 md5
+    bytes of f"{k}#{text}" as a fraction. Same formula as the SQL oracle."""
+    h = hashlib.md5(f"{k}#{text}".encode()).digest()[:8]
+    return int.from_bytes(h, "big") / float(1 << 64)
+
+
+def score_batch(texts, num_labels: int) -> np.ndarray:
+    """(B,) texts -> (B, num_labels) logits. Swap in a real model here."""
+    out = np.empty((len(texts), num_labels))
+    for i, t in enumerate(texts):
+        for k in range(num_labels):
+            out[i, k] = _logit(t or "", k)
+    return out
+
+
+def classify_docs(
+    docs: DataFrame,
+    num_labels: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    multi_label: bool = False,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """-> (id, pred_label int) single-label argmax (D6, task_glue.py:653-665)
+    or (id, pred_labels array<int>) via sigmoid>threshold for multi-label
+    (task_glue.py:720-725; scores here are already in [0,1))."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            logits = score_batch(list(pdf[text_col]), num_labels)
+            if multi_label:
+                preds = [
+                    [int(k) for k in np.nonzero(row > threshold)[0]] for row in logits
+                ]
+                yield pd.DataFrame({"id": pdf[id_col], "pred_labels": preds})
+            else:
+                yield pd.DataFrame(
+                    {"id": pdf[id_col], "pred_label": np.argmax(logits, axis=1).astype("int32")}
+                )
+
+    schema = (
+        f"id {dict(docs.dtypes)[id_col]}, pred_labels array<int>"
+        if multi_label
+        else f"id {dict(docs.dtypes)[id_col]}, pred_label int"
+    )
+    return docs.select(id_col, text_col).mapInPandas(run, schema)
+
+
+def classification_accuracy(pred: DataFrame, gold: DataFrame, on: str = "id") -> DataFrame:
+    """A6 single-label accuracy: join on id, mean(pred == gold)."""
+    from pyspark.sql import functions as F
+
+    j = pred.join(gold, on=on)
+    return j.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg((F.col("pred_label") == F.col("gold_label")).cast("double")), 6).alias(
+            "accuracy"
+        ),
+    )

@@ -95,6 +95,38 @@ def entity_vote(df: DataFrame, key_cols: list, n_models: int, threshold: float =
     )
 
 
+def ensemble_mentions(
+    per_model: list[DataFrame],
+    key_cols: list,
+    cooling_lambda: float = 0.0,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """M7/M8 ensemble (ner_models.py:446-558) expressed relationally: each
+    model's mention set is unioned with its Newton-cooling weight
+    e^(-lambda*model_idx) (weight at ner_models.py:476-480; lambda=0 =
+    uniform averaging, the Span-ensemble variant at :519-558); a mention
+    survives if its weight mass >= threshold * total mass. Logit-level
+    averaging lives inside the scoring UDF when heads share a decode; this
+    operator is the decode-level ensemble the reference's entity_vote
+    applies across checkpoints."""
+    import math
+
+    weights = [math.exp(-cooling_lambda * i) for i in range(len(per_model))]
+    total = sum(weights)
+    tagged = [
+        df.select(*key_cols).distinct().withColumn("_w", F.lit(w))
+        for df, w in zip(per_model, weights)
+    ]
+    allm = tagged[0]
+    for t in tagged[1:]:
+        allm = allm.unionByName(t)
+    return (
+        allm.groupBy(*key_cols)
+        .agg(F.sum("_w").alias("weight_mass"))
+        .filter(F.col("weight_mass") >= threshold * total)
+    )
+
+
 def dataset_diff(a: DataFrame, b: DataFrame, key_cols: list):
     """G6: (A-only, B-only, common) by key."""
     a_k = a.select(*key_cols)

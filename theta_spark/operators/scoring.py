@@ -204,6 +204,45 @@ def decode_ents(start_probs, end_probs, batch_lens, confidence: float = 0.0):
     return final
 
 
+def offset_maps(text: str):
+    """P5 (task_ner.py:42-65, huggingface_tokenizer.py:73-98): per-text
+    char2token (len(text), -1 where uncovered) and token2char (start offset
+    per token, plus one trailing end sentinel) arrays."""
+    tokens, starts, ends = tokenize_with_offsets(text)
+    char2token = np.full(len(text), -1, dtype=np.int64)
+    for ti, (s, e) in enumerate(zip(starts, ends)):
+        char2token[s:e] = ti
+    token2char = np.array(starts + [ends[-1] if ends else 0], dtype=np.int64)
+    return char2token, token2char
+
+
+def decode_bioes(tags: list[str]):
+    """D3 (theta/nlp/tasks/ner_decodes.py:11-66): walk a BIOES tag sequence;
+    S-x singletons; B-x ... E-x spans with I-x continuation, type-consistent
+    (a B- span is dropped if interrupted by a mismatching tag). Returns
+    [(category, start_tok, end_tok)]."""
+    out = []
+    i, n = 0, len(tags)
+    while i < n:
+        tag = tags[i]
+        if tag.startswith("S-"):
+            out.append((tag[2:], i, i))
+            i += 1
+        elif tag.startswith("B-"):
+            cat = tag[2:]
+            j = i + 1
+            while j < n and tags[j] == f"I-{cat}":
+                j += 1
+            if j < n and tags[j] == f"E-{cat}":
+                out.append((cat, i, j))
+                i = j + 1
+            else:
+                i += 1  # malformed span: skip the B- and rescan
+        else:
+            i += 1
+    return out
+
+
 def extract_mentions(text: str, confidence: float = 0.0, visible_start: bool = True):
     """Full per-segment extraction: tokenize -> score -> decode -> char spans.
 

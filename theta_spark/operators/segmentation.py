@@ -38,6 +38,29 @@ def segment(df: DataFrame, text_col: str = "text", seg_len: int = 126, seg_strid
     )
 
 
+def clean_text(col, strip: bool = True, collapse_ws: bool = False):
+    """P1 (templates/ner/ner_data.py:12-20, README.md:162-165): normalize
+    text before encoding. Offsets shift with edits, so the default is the
+    reference's conservative strip-only behavior. Python str.strip()
+    removes ALL whitespace (Spark's trim only spaces), so strip is a
+    regexp over \\s at both ends."""
+    out = (
+        F.regexp_replace(F.regexp_replace(col, r"^\s+", ""), r"\s+$", "") if strip else col
+    )
+    if collapse_ws:
+        out = F.regexp_replace(out, r"[ \t]+", " ")
+    return out
+
+
+def filter_no_entity_segments(seg_df: DataFrame, preserve_no_entity: bool = False, tags_col: str = "seg_tags") -> DataFrame:
+    """W4 (task_ner.py:220-226, flag at arguments.py:122-126): on the
+    training-encode path, drop segments containing no tags unless the
+    preserve flag is set."""
+    if preserve_no_entity:
+        return seg_df
+    return seg_df.filter(F.size(F.col(tags_col)) > 0)
+
+
 def project_tags_into_segments(seg_df: DataFrame, tags_col: str = "tags") -> DataFrame:
     """P4 (task_ner.py:196-218): keep tags fully inside [s_seg, e_seg],
     shifting starts into the segment frame. `tags` is

@@ -727,3 +727,136 @@ def kg_triples(spark, sf_dir):
     n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
     corpus, _ = corpus_df(spark, n_docs, seed=42, num_partitions=8, with_docs=False)
     return extract_triples(corpus).orderBy("doc_id", "pred", "subj", "obj")
+
+
+# ===================================================================
+# M6/D6 classification + A1-A5 metric aggregations (reference quirks)
+# ===================================================================
+
+@query(
+    "m6_classify",
+    r"""
+    SELECT doc_id,
+           CAST(list_position(scores, list_max(scores)) - 1 AS INT) AS pred_label
+    FROM (
+      SELECT doc_id,
+             [('0x' || substr(md5('0#' || text), 1, 16))::UBIGINT,
+              ('0x' || substr(md5('1#' || text), 1, 16))::UBIGINT,
+              ('0x' || substr(md5('2#' || text), 1, 16))::UBIGINT,
+              ('0x' || substr(md5('3#' || text), 1, 16))::UBIGINT] AS scores
+      FROM documents
+    ) ORDER BY doc_id
+    """,
+)
+def m6_classify(spark, sf_dir):
+    """M6/D6 (task_glue.py:295-454,653-665): Arrow-batched sequence
+    classification with argmax decode; the deterministic scorer's md5
+    formula is reproduced exactly by the oracle."""
+    from theta_spark.operators.classify import classify_docs
+
+    d = _load(spark, sf_dir, "documents")
+    return (
+        classify_docs(d, num_labels=4, id_col="doc_id", text_col="text")
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
+    )
+
+
+_PRED_GOLD_CTE = """
+    WITH pred AS (
+      SELECT DISTINCT l_returnflag AS category, l_orderkey AS k1, l_partkey AS k2
+      FROM lineitem WHERE l_quantity > 25
+    ), gold AS (
+      SELECT DISTINCT l_returnflag AS category, l_orderkey AS k1, l_partkey AS k2
+      FROM lineitem WHERE l_extendedprice > 30000
+    ), tp AS (
+      SELECT category, COUNT(*) AS tp FROM (SELECT * FROM pred INTERSECT SELECT * FROM gold)
+      GROUP BY category
+    ), np AS (SELECT category, COUNT(*) AS np FROM pred GROUP BY category),
+    ng AS (SELECT category, COUNT(*) AS ng FROM gold GROUP BY category),
+    cats AS (SELECT category FROM pred UNION SELECT category FROM gold),
+    counts AS (
+      SELECT c.category,
+             COALESCE(tp.tp, 0) AS tp,
+             COALESCE(np.np, 0) - COALESCE(tp.tp, 0) AS fp,
+             COALESCE(ng.ng, 0) - COALESCE(tp.tp, 0) AS fn
+      FROM cats c LEFT JOIN tp USING (category)
+      LEFT JOIN np USING (category) LEFT JOIN ng USING (category)
+    ), prf AS (
+      SELECT category, tp, fp, fn,
+             CASE WHEN tp + fp > 0 THEN tp::DOUBLE / (tp + fp) ELSE 0.0 END AS p,
+             CASE WHEN tp + fn > 0 THEN tp::DOUBLE / (tp + fn) ELSE 0.0 END AS r
+      FROM counts
+    ), prf2 AS (
+      SELECT category, tp, fp, fn, p, r,
+             CASE WHEN p + r > 0 THEN 2 * p * r / (p + r) ELSE 0.0 END AS f1
+      FROM prf
+    )
+"""
+
+
+def _pred_gold_dfs(spark, sf_dir):
+    li = _load(spark, sf_dir, "lineitem")
+    pred = li.filter(F.col("l_quantity") > 25).select(
+        F.col("l_returnflag").alias("category"),
+        F.col("l_orderkey").alias("k1"),
+        F.col("l_partkey").alias("k2"),
+    )
+    gold = li.filter(F.col("l_extendedprice") > 30000).select(
+        F.col("l_returnflag").alias("category"),
+        F.col("l_orderkey").alias("k1"),
+        F.col("l_partkey").alias("k2"),
+    )
+    return pred, gold
+
+
+@query(
+    "a3_prf_per_category",
+    _PRED_GOLD_CTE
+    + """
+    SELECT category, tp, fp, fn,
+           ROUND(p, 6) AS precision_v, ROUND(r, 6) AS recall_v, ROUND(f1, 6) AS f1
+    FROM prf2 ORDER BY f1 DESC, category
+    """,
+)
+def a3_prf_per_category(spark, sf_dir):
+    """A1-A3 (task_ner.py:1137-1154,35-39): per-category tp/fp/fn via
+    semi/anti joins + P/R/F1 with zero-guards, sorted by F1 desc (O2)."""
+    from theta_spark.metrics import prf_per_category, span_match_counts
+
+    pred, gold = _pred_gold_dfs(spark, sf_dir)
+    counts = span_match_counts(pred, gold, keys=["category", "k1", "k2"])
+    return prf_per_category(counts)
+
+
+@query(
+    "a45_micro_macro",
+    _PRED_GOLD_CTE
+    + """
+    , pooled AS (
+      SELECT SUM(tp) AS tp, SUM(fp) AS fp, SUM(fn) AS fn FROM prf2
+    ), pooled_prf AS (
+      SELECT CASE WHEN tp + fp > 0 THEN tp::DOUBLE / (tp + fp) ELSE 0.0 END AS mp,
+             CASE WHEN tp + fn > 0 THEN tp::DOUBLE / (tp + fn) ELSE 0.0 END AS mr
+      FROM pooled
+    )
+    SELECT ROUND((SELECT AVG(p) FROM prf2), 6) AS micro_precision,
+           ROUND((SELECT AVG(r) FROM prf2), 6) AS micro_recall,
+           ROUND((SELECT AVG(f1) FROM prf2), 6) AS micro_f1,
+           ROUND(mp, 6) AS macro_precision,
+           ROUND(mr, 6) AS macro_recall,
+           ROUND(CASE WHEN mp + mr > 0 THEN 2 * mp * mr / (mp + mr) ELSE 0.0 END, 6) AS macro_f1
+    FROM pooled_prf
+    """,
+)
+def a45_micro_macro(spark, sf_dir):
+    """A4/A5 with the reference's naming quirks (task_ner.py:1216-1222,
+    1292-1297): "Micro" = category-averaged (type-weighted macro), "Macro"
+    = pooled-counts micro."""
+    from theta_spark.metrics import macro_metrics, micro_metrics, span_match_counts
+
+    pred, gold = _pred_gold_dfs(spark, sf_dir)
+    counts = span_match_counts(pred, gold, keys=["category", "k1", "k2"])
+    micro = micro_metrics(counts)
+    macro = macro_metrics(counts).select("macro_precision", "macro_recall", "macro_f1")
+    return micro.crossJoin(macro)
