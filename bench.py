@@ -25,6 +25,10 @@ import sys
 import time
 
 
+class _BenchDone(Exception):
+    """Internal: unwinds the staged-bench body in compute-only mode."""
+
+
 def _stage_wall(workdir: str, stage: str) -> float:
     import json as _json
 
@@ -81,8 +85,34 @@ def run_bench(
     n_chars = corpus.agg(F.sum(F.length("content"))).collect()[0][0]
 
     workdir = tempfile.mkdtemp(prefix="kgbench_")
+    compute_only = os.environ.get("SPARK_GRAFT_BENCH_SINK") == "count"
     try:
         t0 = time.time()
+        if compute_only:
+            # pure-compute variant: one count action drives corpus ->
+            # extraction -> triple assembly with NO stage snapshots. The
+            # sandbox's single shared local disk does not scale with cores
+            # (a cluster's storage bandwidth scales with executors), so
+            # this isolates the job's compute scaling from that artifact.
+            from theta_spark.operators.triples import assemble_triples
+            from theta_spark.pipeline import extract_mentions_df
+
+            n_triples = assemble_triples(extract_mentions_df(corpus, cfg)).count()
+            t_extract = t_all = time.time() - t0
+            timings["kg_pipeline"] = round(t_extract, 3)
+            timings["kg_graph"] = 0.0
+            kg.update(
+                n_docs=n_docs,
+                n_chars=int(n_chars),
+                n_mentions=-1,
+                n_triples=n_triples,
+                triples_per_sec=round(n_triples / t_extract, 1),
+                docs_per_sec=round(n_docs / t_extract, 1),
+                mb_per_sec=round(n_chars / 1e6 / t_extract, 2),
+                end_to_end_sec=round(t_all, 3),
+                sink="count",
+            )
+            raise _BenchDone()
         if skip_graph:
             from theta_spark.operators.triples import assemble_triples
             from theta_spark.pipeline import extract_mentions_df, run_checkpointed
@@ -115,6 +145,8 @@ def run_bench(
         if not skip_graph:
             kg["n_nodes"] = stages["nodes"].count()
             kg["n_edges"] = stages["edges"].count()
+    except _BenchDone:
+        pass
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
     corpus.unpersist()

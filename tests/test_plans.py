@@ -1,0 +1,65 @@
+"""Physical-plan audits: the properties that matter at 100 TB, asserted on
+explain() output — filter pushdown reaches the scan, small dims broadcast,
+the fused extraction is narrow (no shuffle before the Python stage), and
+triple assembly reuses one doc_id exchange."""
+
+from pyspark.sql import functions as F
+
+from theta_spark.config import PipelineConfig
+from theta_spark.operators.triples import assemble_triples
+from theta_spark.pipeline import extract_mentions_df, with_doc_id
+
+
+def plan_of(df) -> str:
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    d = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    q = d.filter(F.col("l_quantity") > 25).select("l_orderkey", "l_quantity")
+    p = plan_of(q)
+    assert "PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,25" in p
+    # column pruning: ReadSchema carries only the two needed columns
+    rs = [l for l in p.splitlines() if "ReadSchema" in l][0]
+    assert "l_orderkey" in rs and "l_extendedprice" not in rs
+
+
+def test_broadcast_join_for_small_dims(spark):
+    c = spark.read.parquet("/root/testdata/sf0.001/customer.parquet")
+    n = spark.read.parquet("/root/testdata/sf0.001/nation.parquet")
+    q = c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey).groupBy("n_name").count()
+    assert "BroadcastHashJoin" in plan_of(q)
+
+
+def test_fused_extraction_is_narrow(spark, corpus50):
+    m = extract_mentions_df(corpus50, PipelineConfig())
+    p = plan_of(m)
+    # no Exchange between the corpus scan and the Python stage: the fused
+    # mapInPandas consumes the corpus partitioning directly
+    before_py = p.split("MapInPandas")[0] if "MapInPandas" in p else p
+    section = before_py.split("ArrowEvalPython")[0]
+    assert "Exchange" not in section.split("== Physical Plan ==")[-1]
+
+
+def test_triple_assembly_single_exchange(spark, corpus50):
+    m = extract_mentions_df(corpus50, PipelineConfig())
+    t = assemble_triples(m)
+    p = plan_of(t)
+    phys = p.split("== Physical Plan ==")[-1].split("== Initial Plan ==")[0]
+    # exchanges: one hashpartitioning(doc_id) for the window family + the
+    # final distinct's (AQE may add shuffle reads but not more writes)
+    n_exchange = phys.count("Exchange hashpartitioning")
+    assert n_exchange <= 2, f"{n_exchange} exchanges:\n{phys[:2000]}"
+    assert "WindowGroupLimit" in phys or "Window" in phys
+
+
+def test_doc_id_projection_prunes_corpus(spark, corpus50):
+    d = with_doc_id(corpus50).select("doc_id")
+    p = plan_of(d)
+    assert "sha2" not in p.lower().split("== physical plan ==")[-1]

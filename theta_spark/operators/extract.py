@@ -15,6 +15,7 @@ from typing import Iterator
 import pandas as pd
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 from theta_spark.operators.scoring import extract_mentions
 
@@ -65,6 +66,58 @@ def extract_doc_mentions_df(docs_df: DataFrame, seg_len: int, seg_stride: int, c
             yield pd.DataFrame(out)
 
     return docs_df.select("doc_id", "sha256", "text").mapInPandas(run, MENTION_DOC_SCHEMA)
+
+
+MRC_SCHEMA = (
+    "doc_id string, predicate string, role string, category_id int, "
+    "start int, end int, mention string"
+)
+
+
+def mrc_extract(docs_df: DataFrame, predicates: DataFrame, seg_len: int = 126, seg_stride: int = 63) -> DataFrame:
+    """M5 MRC-style per-predicate conditioned extraction (reference:
+    theta/nlp/tasks/ner_models.py:306-443, ConditionalLayerNorm at
+    theta/modules/modules.py:95-136; join shape per SURVEY.md §2.12 —
+    crossJoin with the broadcast predicate dim).
+
+    `predicates` is a small dim (predicate, subj_category, obj_category).
+    Each (doc x predicate) pair is scored by the same batched stage, with
+    the predicate conditioning which span roles are tagged — here the
+    deterministic stand-in filters the shared span scorer's output to the
+    conditioned categories (a real MRC head would condition the encoder);
+    output rows are (doc, predicate, role in {subject, object}, span)."""
+    from theta_spark.reference_impl import extract_doc_mentions
+
+    paired = docs_df.select("doc_id", "text").crossJoin(F.broadcast(predicates))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from theta_spark.config import ID2LABEL
+
+        cache: dict = {}
+        for pdf in batches:
+            out = {k: [] for k in ("doc_id", "predicate", "role", "category_id", "start", "end", "mention")}
+            for doc_id, text, pred, subj_cat, obj_cat in zip(
+                pdf["doc_id"], pdf["text"], pdf["predicate"], pdf["subj_category"], pdf["obj_category"]
+            ):
+                if doc_id not in cache:  # score once per doc, condition per predicate
+                    cache[doc_id] = extract_doc_mentions(text, seg_len, seg_stride, 0.0)
+                for m in cache[doc_id]:
+                    cat_name = ID2LABEL[m["category_id"]]
+                    role = (
+                        "subject" if cat_name == subj_cat else "object" if cat_name == obj_cat else None
+                    )
+                    if role is None:
+                        continue
+                    out["doc_id"].append(doc_id)
+                    out["predicate"].append(pred)
+                    out["role"].append(role)
+                    out["category_id"].append(m["category_id"])
+                    out["start"].append(m["start"])
+                    out["end"].append(m["end"])
+                    out["mention"].append(m["mention"])
+            yield pd.DataFrame(out)
+
+    return paired.mapInPandas(run, MRC_SCHEMA)
 
 
 def score_and_decode(seg_df: DataFrame, confidence: float = 0.0) -> DataFrame:
