@@ -35,6 +35,19 @@ def test_engine_triples_match_reference_and_gold(spark, corpus50, docs50):
     assert prf(engine, gold) == (1.0, 1.0, 1.0)
 
 
+def test_fused_equals_relational_assembly(spark, corpus50):
+    """The zero-shuffle fused per-doc triple path and the relational
+    window-assembly path must produce identical triple sets."""
+    from theta_spark.operators.triples import assemble_triples
+
+    fused = {tuple(r) for r in extract_triples(corpus50, PipelineConfig()).collect()}
+    rel = {
+        tuple(r)
+        for r in assemble_triples(extract_mentions_df(corpus50, PipelineConfig())).collect()
+    }
+    assert fused == rel
+
+
 def test_engine_categories_cover_label_space(spark, corpus50):
     m = extract_mentions_df(corpus50, PipelineConfig())
     cats = {r.category for r in m.select("category").distinct().collect()}

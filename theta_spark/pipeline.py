@@ -26,7 +26,11 @@ from pyspark.sql import functions as F
 
 from theta_spark.canonicalize import canonicalize_names
 from theta_spark.config import PipelineConfig
-from theta_spark.operators.extract import extract_doc_mentions_df, score_and_decode
+from theta_spark.operators.extract import (
+    extract_doc_mentions_df,
+    extract_doc_triples_df,
+    score_and_decode,
+)
 from theta_spark.operators.merge import dedup_mentions, unshift_mentions
 from theta_spark.operators.segmentation import segment
 from theta_spark.operators.triples import assemble_triples, with_category_names, with_norm
@@ -64,6 +68,14 @@ def extract_mentions_df(corpus: DataFrame, cfg: PipelineConfig | None = None) ->
 
 
 def extract_triples(corpus: DataFrame, cfg: PipelineConfig | None = None) -> DataFrame:
+    """corpus -> triples(subj, pred, obj, doc_id). Default: fully-fused
+    per-doc stage (zero shuffles; scales with cores). Relational path
+    (mentions -> window assembly) when fuse_doc_stage=False."""
+    cfg = cfg or PipelineConfig()
+    if cfg.fuse_doc_stage:
+        return extract_doc_triples_df(
+            with_doc_id(corpus), cfg.seg_len, cfg.seg_stride, cfg.confidence
+        )
     return assemble_triples(extract_mentions_df(corpus, cfg))
 
 
@@ -163,9 +175,16 @@ def run_pipeline(spark: SparkSession, corpus: DataFrame, workdir: str, cfg: Pipe
     mentions = run_checkpointed(
         spark, workdir, "mentions", lambda: extract_mentions_df(corpus, cfg), resume=resume
     )
-    triples = run_checkpointed(
-        spark, workdir, "triples", lambda: assemble_triples(mentions), resume=resume
-    )
+
+    def _build_triples():
+        if cfg.fuse_doc_stage:
+            # fused per-doc path: re-scores the corpus (narrow, scales with
+            # cores) instead of shuffling the 20x-larger mention stream
+            # through a string-keyed window sort
+            return extract_triples(corpus, cfg)
+        return assemble_triples(mentions)
+
+    triples = run_checkpointed(spark, workdir, "triples", _build_triples, resume=resume)
     nodes_edges = {}
 
     def _build_nodes():
