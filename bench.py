@@ -94,10 +94,13 @@ def run_bench(
             # sandbox's single shared local disk does not scale with cores
             # (a cluster's storage bandwidth scales with executors), so
             # this isolates the job's compute scaling from that artifact.
-            from theta_spark.operators.triples import assemble_triples
-            from theta_spark.pipeline import extract_mentions_df
+            # Uses extract_triples — the PRODUCTION fused per-doc path run
+            # by run_pipeline/entry (cfg.fuse_doc_stage=True), so the
+            # scaling numbers measure the shipped plan, not the relational
+            # fallback.
+            from theta_spark.pipeline import extract_triples
 
-            n_triples = assemble_triples(extract_mentions_df(corpus, cfg)).count()
+            n_triples = extract_triples(corpus, cfg).count()
             t_extract = t_all = time.time() - t0
             timings["kg_pipeline"] = round(t_extract, 3)
             timings["kg_graph"] = 0.0
@@ -114,14 +117,16 @@ def run_bench(
             )
             raise _BenchDone()
         if skip_graph:
-            from theta_spark.operators.triples import assemble_triples
-            from theta_spark.pipeline import extract_mentions_df, run_checkpointed
+            # same stage structure as run_pipeline's fused branch (mentions
+            # snapshot + fused extract_triples re-scoring the corpus), minus
+            # the nodes/edges graph stages
+            from theta_spark.pipeline import extract_mentions_df, extract_triples, run_checkpointed
 
             mentions = run_checkpointed(
                 spark, workdir, "mentions", lambda: extract_mentions_df(corpus, cfg), resume=False
             )
             triples = run_checkpointed(
-                spark, workdir, "triples", lambda: assemble_triples(mentions), resume=False
+                spark, workdir, "triples", lambda: extract_triples(corpus, cfg), resume=False
             )
             stages = {"mentions": mentions, "triples": triples}
         else:

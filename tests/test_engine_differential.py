@@ -28,11 +28,24 @@ def test_engine_mentions_match_gold(spark, corpus50, docs50):
 
 
 def test_engine_triples_match_reference_and_gold(spark, corpus50, docs50):
-    engine = {tuple(r) for r in extract_triples(corpus50, PipelineConfig()).collect()}
+    engine_rows = extract_triples(corpus50, PipelineConfig()).collect()
+    engine = {(r.subj, r.pred, r.obj, r.doc_id) for r in engine_rows}
     ref = reference_triples(docs50)
     gold = set(gold_triple_rows(docs50))
     assert prf(engine, ref) == (1.0, 1.0, 1.0), (sorted(ref - engine)[:5], sorted(engine - ref)[:5])
     assert prf(engine, gold) == (1.0, 1.0, 1.0)
+
+
+def test_triples_carry_sha256_invariant(spark, corpus50, docs50):
+    """input_hint invariant end-to-end: every TRIPLE row (not just mentions)
+    carries sha256(content) of its source document."""
+    import hashlib
+
+    sha_by_id = {d.doc_id: hashlib.sha256(d.content.encode()).hexdigest() for d in docs50}
+    rows = extract_triples(corpus50, PipelineConfig()).collect()
+    assert rows
+    for r in rows:
+        assert r.sha256 == sha_by_id[r.doc_id]
 
 
 def test_fused_equals_relational_assembly(spark, corpus50):

@@ -29,3 +29,23 @@ def test_mrc_roles_follow_predicate_dim(spark, corpus50):
     texts = {r.doc_id: r.text for r in docs.collect()}
     for r in out[:50]:
         assert texts[r.doc_id][r.start : r.end + 1] == r.mention
+
+
+def test_mrc_last_doc_cache_across_small_arrow_batches(spark, corpus50):
+    """The per-partition scorer cache is a single (last_doc, mentions) entry
+    (bounded memory); correctness must hold even when a doc's predicate
+    copies span multiple Arrow batches."""
+    docs = with_doc_id(corpus50).orderBy("doc_id").limit(6).coalesce(1)
+    predicates = spark.createDataFrame(
+        [("calls", "function", "call"), ("imports", "module", "library"),
+         ("defines", "module", "function")],
+        "predicate string, subj_category string, obj_category string",
+    )
+    baseline = {tuple(r) for r in mrc_extract(docs, predicates).collect()}
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    try:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "2")
+        tiny = {tuple(r) for r in mrc_extract(docs, predicates).collect()}
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+    assert tiny == baseline and baseline

@@ -95,12 +95,16 @@ def lsh_candidate_pairs(
     matching band — run the (cheap) verify first and dedup the (small)
     surviving edge set, not the raw candidate stream.
 
-    `max_bucket` drops degenerate buckets (> max_bucket members) before the
-    self-join: short identifier names share most of their few shingles, so
-    without the cap one hot band bucket yields O(bucket^2) pairs — the
-    classic LSH-at-scale failure. A pair lost to one oversized bucket still
-    has the other bands to surface in, and a bucket that large means the
-    band carries ~no discriminating information anyway."""
+    `max_bucket` caps degenerate buckets: short identifier names share most
+    of their few shingles, so without a cap one hot band bucket yields
+    O(bucket^2) pairs — the classic LSH-at-scale failure. Oversized buckets
+    are NOT dropped (a short-identifier family can exceed the cap in EVERY
+    band, which would silently lose its true near-dup edges); instead a
+    deterministic pseudo-random sample of max_bucket members (ordered by
+    xxhash64(name)) still emits capped pairs, so hot families keep
+    surfacing edges — recall degrades gracefully instead of cliffing, and
+    the transitive closure of the surviving edges recovers most of the
+    family's component."""
     sig = sig.withColumn("_n", F.size("sig"))
     rows_per_band = F.floor(F.col("_n") / bands).cast("int")
     banded = sig.select(
@@ -114,10 +118,27 @@ def lsh_candidate_pairs(
     ).withColumn("bucket", F.hash("band_id", F.col("band").cast("string")))
     # one shuffle: bucket members collected per (band, bucket); pair
     # combinations generated inline (no self-join, no window count)
+    sampled = F.transform(
+        F.slice(
+            F.array_sort(
+                F.transform(
+                    F.col("ms_all"),
+                    lambda m: F.struct(F.xxhash64(m).alias("h"), m.alias("m")),
+                )
+            ),
+            1,
+            max_bucket,
+        ),
+        lambda s: s["m"],
+    )
     buckets = (
         banded.groupBy("band_id", "bucket")
-        .agg(F.collect_list("name").alias("ms"))
-        .filter((F.size("ms") >= 2) & (F.size("ms") <= max_bucket))
+        .agg(F.collect_list("name").alias("ms_all"))
+        .filter(F.size("ms_all") >= 2)
+        .withColumn(
+            "ms",
+            F.when(F.size("ms_all") <= max_bucket, F.col("ms_all")).otherwise(sampled),
+        )
     )
     combos = F.flatten(
         F.transform(

@@ -61,10 +61,24 @@ def prf_per_category(counts: DataFrame) -> DataFrame:
     ).orderBy(F.desc("f1"), "category")
 
 
-def micro_metrics(counts: DataFrame, weights: DataFrame | None = None) -> DataFrame:
-    """Reference "Micro" (A4 — computed like a type-weighted macro): mean
-    over categories of weight * per-category metric. `weights` is an
-    optional broadcast dim (category, weight), default 1.0."""
+def micro_metrics(
+    counts: DataFrame, weights: DataFrame | None = None, num_labels: int | None = None
+) -> DataFrame:
+    """Reference "Micro" (A4 — computed like a type-weighted macro).
+
+    Two reference variants:
+    - default (num_labels=None): mean over the categories PRESENT in
+      `counts` — matches the show_val_results report, which only iterates
+      categories that appear in pred/gold;
+    - num_labels given: sum over categories divided by `num_labels` —
+      matches task_ner.py:1216-1222 exactly, which iterates ALL id2label
+      categories (zero-count ones contribute 0) and divides by
+      self.num_labels (= len(categories) + 1, the +1 being the reserved
+      no-entity label). Absent categories need no join: they add 0 to the
+      sum, so dividing the present-category sum by num_labels is identical.
+
+    `weights` is an optional broadcast dim (category, weight), default 1.0.
+    """
     tp, fp, fn = F.col("tp"), F.col("fp"), F.col("fn")
     p, r, f1 = _prf_cols(tp, fp, fn)
     per_cat = counts.select("category", p.alias("p"), r.alias("r"), f1.alias("f"))
@@ -74,6 +88,12 @@ def micro_metrics(counts: DataFrame, weights: DataFrame | None = None) -> DataFr
         )
     else:
         per_cat = per_cat.withColumn("w", F.lit(1.0))
+    if num_labels is not None:
+        return per_cat.agg(
+            F.round(F.sum(F.col("p") * F.col("w")) / num_labels, 6).alias("micro_precision"),
+            F.round(F.sum(F.col("r") * F.col("w")) / num_labels, 6).alias("micro_recall"),
+            F.round(F.sum(F.col("f") * F.col("w")) / num_labels, 6).alias("micro_f1"),
+        )
     return per_cat.agg(
         F.round(F.avg(F.col("p") * F.col("w")), 6).alias("micro_precision"),
         F.round(F.avg(F.col("r") * F.col("w")), 6).alias("micro_recall"),

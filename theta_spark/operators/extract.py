@@ -68,7 +68,7 @@ def extract_doc_mentions_df(docs_df: DataFrame, seg_len: int, seg_stride: int, c
     return docs_df.select("doc_id", "sha256", "text").mapInPandas(run, MENTION_DOC_SCHEMA)
 
 
-TRIPLE_SCHEMA = "subj string, pred string, obj string, doc_id string"
+TRIPLE_SCHEMA = "subj string, pred string, obj string, doc_id string, sha256 string"
 
 
 def extract_doc_triples_df(docs_df: DataFrame, seg_len: int, seg_stride: int, confidence: float = 0.0) -> DataFrame:
@@ -85,22 +85,26 @@ def extract_doc_triples_df(docs_df: DataFrame, seg_len: int, seg_stride: int, co
     stage (pure compute, zero shuffle; per-doc output is already
     distinct). The relational assembly (operators.triples.assemble_triples)
     remains the operator-level contract and is differentially tested equal.
+
+    Carries the per-row sha256(content) invariant (input_hint) end-to-end:
+    every emitted triple row keeps its source document's content hash.
     """
     from theta_spark.reference_impl import assemble_doc_triples, extract_doc_mentions
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out = {k: [] for k in ("subj", "pred", "obj", "doc_id")}
-            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+            out = {k: [] for k in ("subj", "pred", "obj", "doc_id", "sha256")}
+            for doc_id, sha, text in zip(pdf["doc_id"], pdf["sha256"], pdf["text"]):
                 mentions = extract_doc_mentions(text, seg_len, seg_stride, confidence)
                 for (s, p, o, d) in sorted(assemble_doc_triples(mentions, doc_id)):
                     out["subj"].append(s)
                     out["pred"].append(p)
                     out["obj"].append(o)
                     out["doc_id"].append(d)
+                    out["sha256"].append(sha)
             yield pd.DataFrame(out)
 
-    return docs_df.select("doc_id", "text").mapInPandas(run, TRIPLE_SCHEMA)
+    return docs_df.select("doc_id", "sha256", "text").mapInPandas(run, TRIPLE_SCHEMA)
 
 
 MRC_SCHEMA = (
@@ -128,15 +132,20 @@ def mrc_extract(docs_df: DataFrame, predicates: DataFrame, seg_len: int = 126, s
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from theta_spark.config import ID2LABEL
 
-        cache: dict = {}
+        # one-entry cache: the broadcast crossJoin emits all predicate
+        # copies of a doc consecutively, so a last-doc cache scores each doc
+        # once while keeping per-partition memory O(1) regardless of
+        # partition size (an unbounded dict here is a leak at scale)
+        last_doc_id, last_mentions = None, None
         for pdf in batches:
             out = {k: [] for k in ("doc_id", "predicate", "role", "category_id", "start", "end", "mention")}
             for doc_id, text, pred, subj_cat, obj_cat in zip(
                 pdf["doc_id"], pdf["text"], pdf["predicate"], pdf["subj_category"], pdf["obj_category"]
             ):
-                if doc_id not in cache:  # score once per doc, condition per predicate
-                    cache[doc_id] = extract_doc_mentions(text, seg_len, seg_stride, 0.0)
-                for m in cache[doc_id]:
+                if doc_id != last_doc_id:  # score once per doc, condition per predicate
+                    last_doc_id = doc_id
+                    last_mentions = extract_doc_mentions(text, seg_len, seg_stride, 0.0)
+                for m in last_mentions:
                     cat_name = ID2LABEL[m["category_id"]]
                     role = (
                         "subject" if cat_name == subj_cat else "object" if cat_name == obj_cat else None

@@ -40,17 +40,23 @@ def with_norm(mentions: DataFrame) -> DataFrame:
 
 
 def assemble_triples(mentions: DataFrame) -> DataFrame:
-    """mentions(doc_id, category, start, end, mention, norm, indent) ->
-    triples(subj, pred, obj, doc_id), distinct.
+    """mentions(doc_id, category, start, end, mention, norm, indent
+    [, sha256]) -> triples(subj, pred, obj, doc_id[, sha256]), distinct.
+    When the input carries the per-row sha256(content) invariant it is
+    carried through (constant per doc, so distinct cardinality is
+    unchanged).
 
     Single-pass assembly: one set of doc-partitioned window columns, then
     every predicate rule becomes an element of a candidate array that is
     filtered and exploded — no per-predicate branch re-reading the upstream
     (a naive 5-way union would recompute the Python scoring stage 5x), no
-    join for instance_of (the adjacent-call test is a lead() + an
-    array_contains on a per-doc collect_set of class names). All window
-    specs partition by doc_id, so after the dedup stage's repartition the
-    whole assembly is shuffle-free sorts."""
+    join for instance_of (the adjacent-call test probes a per-doc
+    collect_list of call structs for a call starting exactly at
+    variable.end + 4 — same any-position semantics as the fused
+    reference_impl path, robust to an unrelated mention sorting between the
+    variable and its constructor call). All window specs partition by
+    doc_id, so after the dedup stage's repartition the whole assembly is
+    shuffle-free sorts."""
     w_all = (
         Window.partitionBy("doc_id")
         .orderBy("start", "category_id", "end")
@@ -76,9 +82,12 @@ def assemble_triples(mentions: DataFrame) -> DataFrame:
         .withColumn(
             "prev_def", F.last(F.when(cat == "function", norm), ignorenulls=True).over(w_before)
         )
-        .withColumn("next_cat", F.lead("category").over(w_next))
-        .withColumn("next_norm", F.lead("norm").over(w_next))
-        .withColumn("next_start", F.lead("start").over(w_next))
+        .withColumn(
+            "calls",
+            F.collect_list(
+                F.when(cat == "call", F.struct(F.col("start").alias("cs"), norm.alias("cn")))
+            ).over(w_all),
+        )
     )
 
     def t(subj, pred, obj):
@@ -101,21 +110,34 @@ def assemble_triples(mentions: DataFrame) -> DataFrame:
         # call-site -> (nearest preceding def, calls, x)  [as-of window]
         F.when((cat == "call") & prev_def.isNotNull(), t(prev_def, "calls", norm)),
         # variable v adjacent to constructor call `v = C()` of a same-doc
-        # class C: the call starts len(" = ")+1 chars after v's inclusive end
+        # class C: the call starts len(" = ")+1 chars after v's inclusive
+        # end. The F.filter HOF scans the per-doc CALL list (small — a few
+        # entries per doc), not the full mention stream; it is evaluated
+        # only while building the candidate array of this non-default
+        # relational path (the production path is the fused per-doc stage)
         F.when(
-            (cat == "variable")
-            & (F.col("next_cat") == "call")
-            & (F.col("next_start") == F.col("end") + 4)
-            & F.array_contains(F.col("classes"), F.col("next_norm")),
-            t(F.lower(F.col("mention")), "instance_of", F.col("next_norm")),
+            (cat == "variable") & F.col("inst_hit").isNotNull(),
+            t(F.lower(F.col("mention")), "instance_of", F.col("inst_hit")["cn"]),
         ),
     )
+    m = m.withColumn(
+        "inst_hit",
+        F.try_element_at(
+            F.filter(
+                F.col("calls"),
+                lambda c: (c["cs"] == F.col("end") + 4)
+                & F.array_contains(F.col("classes"), c["cn"]),
+            ),
+            F.lit(1),
+        ),
+    )
+    carry = ["doc_id"] + (["sha256"] if "sha256" in mentions.columns else [])
     # plain explode + null WHERE, NOT F.filter(lambda): higher-order array
     # functions run interpreted (outside whole-stage codegen) and measured
     # ~10x slower on this hot path (336s -> 35s over 20M mentions)
     return (
-        m.select("doc_id", F.explode(candidates).alias("t"))
+        m.select(*carry, F.explode(candidates).alias("t"))
         .where(F.col("t").isNotNull())
-        .select("t.subj", "t.pred", "t.obj", "doc_id")
+        .select("t.subj", "t.pred", "t.obj", *carry)
         .distinct()
     )

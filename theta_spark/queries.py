@@ -419,8 +419,11 @@ def d1_asof_pairing(spark, sf_dir):
     SELECT user_id, session_id, COUNT(*) AS n_events, MIN(event_id) AS first_event
     FROM (
       SELECT user_id, event_id,
-             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+             -- CAST: DuckDB's windowed SUM returns HUGEINT (surfaces as
+             -- float64), Spark returns bigint — value-identical but the
+             -- driver's value hash diverges without the cast
+             CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
       FROM (
         SELECT user_id, event_id, ts,
                CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)

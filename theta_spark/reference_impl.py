@@ -78,7 +78,11 @@ def assemble_doc_triples(mentions: list[dict], doc_id: str):
     triples = set()
     prev_class = None
     prev_def = None
-    by_start = {m["start"]: m for m in ms}
+    # call-start lookup restricted to CALL mentions: a non-call mention
+    # sharing a start must not shadow the constructor call (keeps the fused
+    # path and the relational assembly's per-doc call-list probe equivalent
+    # on inputs with overlapping mentions, not just the synthetic corpus)
+    calls_by_start = {m["start"]: m for m in ms if m["category"] == "call"}
     for m in ms:
         cat = m["category"]
         n = _norm(m["mention"])
@@ -91,8 +95,8 @@ def assemble_doc_triples(mentions: list[dict], doc_id: str):
         if cat == "call" and prev_def:
             triples.add((prev_def, "calls", n, doc_id))
         if cat == "variable":
-            c = by_start.get(m["end"] + 4)
-            if c is not None and c["category"] == "call" and _norm(c["mention"]) in classes:
+            c = calls_by_start.get(m["end"] + 4)
+            if c is not None and _norm(c["mention"]) in classes:
                 triples.add((m["mention"].lower(), "instance_of", _norm(c["mention"]), doc_id))
         # update as-of state AFTER emitting (windows use rowsBetween(..., -1))
         if cat == "class":

@@ -21,22 +21,32 @@ from theta_spark.operators.triples import assemble_triples
 from theta_spark.pipeline import extract_mentions_df
 
 
-def process_corpus_batch(batch_df: DataFrame, out_dir: str, cfg: PipelineConfig | None = None) -> None:
-    """foreachBatch body: corpus micro-batch -> append mentions + triples
-    parquet under `out_dir` (same layout as run_pipeline stages)."""
+def process_corpus_batch(
+    batch_df: DataFrame, out_dir: str, epoch_id: int, cfg: PipelineConfig | None = None
+) -> None:
+    """foreachBatch body: corpus micro-batch -> mentions + triples parquet
+    under `out_dir`, each epoch in its own `epoch=<id>` subdirectory
+    written with OVERWRITE. A replayed epoch (crash between the two writes
+    and the checkpoint commit) overwrites its own directory instead of
+    appending duplicates — this is what makes the sink idempotent; a blind
+    mode('append') would be at-least-once. Readers see `epoch` as a
+    discovered partition column under `out_dir`/mentions|triples."""
     cfg = cfg or PipelineConfig()
     mentions = extract_mentions_df(batch_df, cfg)
-    mentions.write.mode("append").parquet(f"{out_dir}/mentions")
-    assemble_triples(mentions).write.mode("append").parquet(f"{out_dir}/triples")
+    mentions.write.mode("overwrite").parquet(f"{out_dir}/mentions/epoch={epoch_id}")
+    assemble_triples(mentions).write.mode("overwrite").parquet(
+        f"{out_dir}/triples/epoch={epoch_id}"
+    )
 
 
 def attach_stream(corpus_stream: DataFrame, out_dir: str, checkpoint_dir: str, cfg: PipelineConfig | None = None):
     """corpus readStream -> writeStream.foreachBatch(extraction). Returns
-    the StreamingQuery (caller awaits/stops). Exactly-once via the
-    streaming checkpoint + idempotent per-batch parquet appends."""
+    the StreamingQuery (caller awaits/stops). Exactly-once = streaming
+    checkpoint (epoch replay on recovery) + the idempotent epoch-keyed
+    overwrite sink in process_corpus_batch."""
     return (
         corpus_stream.writeStream.option("checkpointLocation", checkpoint_dir)
-        .foreachBatch(lambda df, _epoch: process_corpus_batch(df, out_dir, cfg))
+        .foreachBatch(lambda df, epoch: process_corpus_batch(df, out_dir, epoch, cfg))
         .trigger(availableNow=True)
         .start()
     )
