@@ -36,6 +36,16 @@ def _stage_wall(workdir: str, stage: str) -> float:
         return _json.load(f)["wall_ms"] / 1000.0
 
 
+def _proc_stat():
+    """(busy, steal, total) host jiffies — see bench_scaling._proc_stat."""
+    with open("/proc/stat") as f:
+        parts = f.readline().split()
+    vals = [int(x) for x in parts[1:]]
+    user, nice, system, idle, iowait, irq, softirq, steal = (vals + [0] * 8)[:8]
+    busy = user + nice + system + irq + softirq
+    return busy, steal, busy + steal + idle + iowait
+
+
 def _sf_of(sf_dir: str) -> float:
     base = os.path.basename(sf_dir.rstrip("/"))
     try:
@@ -86,7 +96,9 @@ def run_bench(
 
     workdir = tempfile.mkdtemp(prefix="kgbench_")
     compute_only = os.environ.get("SPARK_GRAFT_BENCH_SINK") == "count"
+    hz = os.sysconf("SC_CLK_TCK")
     try:
+        b0, s0, tj0 = _proc_stat()
         t0 = time.time()
         if compute_only:
             # pure-compute variant: one count action drives corpus ->
@@ -102,6 +114,12 @@ def run_bench(
 
             n_triples = extract_triples(corpus, cfg).count()
             t_extract = t_all = time.time() - t0
+            b1, s1, tj1 = _proc_stat()
+            kg.update(
+                busy_cpu_s=round((b1 - b0) / hz, 1),
+                steal_cpu_s=round((s1 - s0) / hz, 1),
+                steal_pct=round(100.0 * (s1 - s0) / max(tj1 - tj0, 1), 1),
+            )
             timings["kg_pipeline"] = round(t_extract, 3)
             timings["kg_graph"] = 0.0
             kg.update(
@@ -132,6 +150,12 @@ def run_bench(
         else:
             stages = run_pipeline(spark, corpus, workdir, cfg, resume=False)
         t_all = time.time() - t0
+        b1, s1, tj1 = _proc_stat()
+        kg.update(
+            busy_cpu_s=round((b1 - b0) / hz, 1),
+            steal_cpu_s=round((s1 - s0) / hz, 1),
+            steal_pct=round(100.0 * (s1 - s0) / max(tj1 - tj0, 1), 1),
+        )
         n_mentions = stages["mentions"].count()
         n_triples = stages["triples"].count()
         t_extract = _stage_wall(workdir, "mentions") + _stage_wall(workdir, "triples")

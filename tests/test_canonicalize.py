@@ -77,3 +77,59 @@ def test_canonicalize_end_to_end(spark):
     assert "zzz_unique" not in out
     # helper3/helper4 share shingles {hel,elp,lpe,per,er3/4}: jaccard 4/6 >= 0.5
     assert out["helper3"] == out["helper4"]
+
+
+def _uf_components(edges, nodes):
+    parent = {n: n for n in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # path-compress fully, then map each node to its component MIN member
+    roots = {n: find(n) for n in nodes}
+    comp_min = {}
+    for n, r in roots.items():
+        comp_min[r] = min(comp_min.get(r, n), n)
+    return {n: comp_min[r] for n, r in roots.items()}
+
+
+def test_connected_components_random_graphs_match_union_find(spark):
+    """Alternating large-star/small-star vs a plain union-find oracle on
+    random graphs — including long chains (worst case for label
+    propagation, O(log n) rounds here) and a hot star node."""
+    import random
+
+    for seed, n_nodes, n_edges in [(1, 30, 25), (2, 60, 40), (3, 40, 80)]:
+        rng = random.Random(seed)
+        nodes = [f"n{seed}_{i:03d}" for i in range(n_nodes)]
+        edges = [tuple(rng.sample(nodes, 2)) for _ in range(n_edges)]
+        # long chain + hot star stress
+        chain = [f"c{seed}_{i:03d}" for i in range(20)]
+        edges += list(zip(chain, chain[1:]))
+        edges += [(nodes[0], c) for c in chain[:3]]
+        all_nodes = nodes + chain
+        expected = _uf_components(edges, all_nodes)
+
+        edf = spark.createDataFrame(edges, "a string, b string")
+        ndf = spark.createDataFrame([(n,) for n in all_nodes], "name string")
+        got = {
+            r.name: r.component
+            for r in connected_components(edf, ndf, "name").collect()
+        }
+        assert got == expected
+
+
+def test_connected_components_self_loops_and_duplicates(spark):
+    edges = spark.createDataFrame(
+        [("x", "x"), ("x", "y"), ("y", "x"), ("z", "z")], "a string, b string"
+    )
+    got = {r.name: r.component for r in connected_components(edges).collect()}
+    # self-loop-only endpoint z keeps identity; x/y collapse to x
+    assert got == {"x": "x", "y": "x", "z": "z"}
