@@ -30,7 +30,8 @@ MENTION_DOC_SCHEMA = (
 )
 
 
-def extract_doc_mentions_df(docs_df: DataFrame, seg_len: int, seg_stride: int, confidence: float = 0.0) -> DataFrame:
+def extract_doc_mentions_df(docs_df: DataFrame, seg_len: int, seg_stride: int, confidence: float = 0.0,
+                            scorer=None, decoder: str = "span") -> DataFrame:
     """Fused per-document stage: sliding-window segmentation + score +
     decode + un-shift + order-preserving dedup in ONE mapInPandas — the
     reference's per-guid dataflow (task_ner.py:183-233 segmentation,
@@ -47,6 +48,10 @@ def extract_doc_mentions_df(docs_df: DataFrame, seg_len: int, seg_stride: int, c
     segment()+score_and_decode()+dedup path below.
 
     Also carries the per-row sha256(content) invariant (input_hint).
+
+    `scorer` (picklable; weights ride the task closure like a broadcast
+    model checkpoint) and `decoder` ("span"/"crf") select the model and
+    decode walk — see operators.scoring / operators.neural.
     """
     from theta_spark.reference_impl import extract_doc_mentions
 
@@ -55,7 +60,8 @@ def extract_doc_mentions_df(docs_df: DataFrame, seg_len: int, seg_stride: int, c
             out = {k: [] for k in
                    ("doc_id", "sha256", "category_id", "start", "end", "mention", "indent")}
             for doc_id, sha, text in zip(pdf["doc_id"], pdf["sha256"], pdf["text"]):
-                for m in extract_doc_mentions(text, seg_len, seg_stride, confidence):
+                for m in extract_doc_mentions(text, seg_len, seg_stride, confidence,
+                                              scorer=scorer, decoder=decoder):
                     out["doc_id"].append(doc_id)
                     out["sha256"].append(sha)
                     out["category_id"].append(m["category_id"])
@@ -71,7 +77,8 @@ def extract_doc_mentions_df(docs_df: DataFrame, seg_len: int, seg_stride: int, c
 TRIPLE_SCHEMA = "subj string, pred string, obj string, doc_id string, sha256 string"
 
 
-def extract_doc_triples_df(docs_df: DataFrame, seg_len: int, seg_stride: int, confidence: float = 0.0) -> DataFrame:
+def extract_doc_triples_df(docs_df: DataFrame, seg_len: int, seg_stride: int, confidence: float = 0.0,
+                           scorer=None, decoder: str = "span") -> DataFrame:
     """Fully-fused per-document triple extraction: segmentation + scoring +
     decode + dedup + triple assembly in ONE narrow mapInPandas — the
     reference's whole per-guid dataflow per Arrow batch, emitting
@@ -95,7 +102,8 @@ def extract_doc_triples_df(docs_df: DataFrame, seg_len: int, seg_stride: int, co
         for pdf in batches:
             out = {k: [] for k in ("subj", "pred", "obj", "doc_id", "sha256")}
             for doc_id, sha, text in zip(pdf["doc_id"], pdf["sha256"], pdf["text"]):
-                mentions = extract_doc_mentions(text, seg_len, seg_stride, confidence)
+                mentions = extract_doc_mentions(text, seg_len, seg_stride, confidence,
+                                                scorer=scorer, decoder=decoder)
                 for (s, p, o, d) in sorted(assemble_doc_triples(mentions, doc_id)):
                     out["subj"].append(s)
                     out["pred"].append(p)

@@ -204,6 +204,25 @@ def decode_ents(start_probs, end_probs, batch_lens, confidence: float = 0.0):
     return final
 
 
+class RuleScorer:
+    """The deterministic stand-in behind the scorer contract (see module
+    docstring). `score_text` is the pluggable interface: MLPScorer
+    (operators.neural) implements the same signature with a genuinely
+    learned model, and both run through the identical mapInPandas stage."""
+
+    def score_text(self, text: str, visible_start: bool = True):
+        """-> (start_probs (T,K), end_probs (T,K), token_starts, token_ends)."""
+        tokens, starts, ends, sl, el, pr = rule_labels(text, visible_start)
+        if not tokens:
+            z = np.zeros((0, NUM_LABELS))
+            return z, z, starts, ends
+        sp, ep = labels_to_probs(sl, el, pr)
+        return sp, ep, starts, ends
+
+
+RULE_SCORER = RuleScorer()
+
+
 def offset_maps(text: str):
     """P5 (task_ner.py:42-65, huggingface_tokenizer.py:73-98): per-text
     char2token (len(text), -1 where uncovered) and token2char (start offset
@@ -243,7 +262,8 @@ def decode_bioes(tags: list[str]):
     return out
 
 
-def extract_mentions(text: str, confidence: float = 0.0, visible_start: bool = True):
+def extract_mentions(text: str, confidence: float = 0.0, visible_start: bool = True,
+                     scorer=None, decoder: str = "span"):
     """Full per-segment extraction: tokenize -> score -> decode -> char spans.
 
     Returns list of (category_id, char_start, char_end_inclusive, mention,
@@ -252,20 +272,54 @@ def extract_mentions(text: str, confidence: float = 0.0, visible_start: bool = T
     vs nested definitions; a segment cut inside the indent yields a smaller
     value, so the merge stage aggregates with max).
 
+    `scorer` is anything implementing score_text (RuleScorer default;
+    operators.neural.MLPScorer is the trained drop-in). `decoder` selects
+    D1's span pairing ("span", default) or M3's constrained Viterbi over
+    BIOES emissions ("crf", reference ner_models.py:94-183); both walks
+    land on identical spans for well-formed outputs — differentially
+    tested in tests/test_crf.py.
+
     Shared by the Spark mapInPandas stage and the differential harness, so
     any disagreement between the two isolates the *distributed plumbing*.
     """
-    tokens, starts, ends, sl, el, pr = rule_labels(text, visible_start)
-    if not tokens:
+    scorer = scorer or RULE_SCORER
+    sp, ep, starts, ends = scorer.score_text(text, visible_start)
+    if len(starts) == 0:
         return []
-    sp, ep = labels_to_probs(sl, el, pr)
-    decoded = decode_ents(sp[None, :, :], ep[None, :, :], [len(tokens)], confidence)[0]
+    if decoder == "crf":
+        spans = _crf_spans(sp, ep, confidence)
+    else:
+        decoded = decode_ents(sp[None, :, :], ep[None, :, :], [len(starts)], confidence)[0]
+        spans = [(cat, s_tok, e_tok) for cat, ss in decoded.items() for (s_tok, e_tok) in ss]
     out = []
-    for cat, spans in decoded.items():
-        for (s_tok, e_tok) in spans:
-            cs, ce = starts[s_tok], ends[e_tok] - 1
-            line = text[:cs].rsplit("\n", 1)[-1]
-            indent = len(line) - len(line.lstrip(" "))
-            out.append((int(cat), cs, ce, text[cs : ce + 1], indent))
+    for cat, s_tok, e_tok in spans:
+        cs, ce = starts[s_tok], ends[e_tok] - 1
+        line = text[:cs].rsplit("\n", 1)[-1]
+        indent = len(line) - len(line.lstrip(" "))
+        out.append((int(cat), cs, ce, text[cs : ce + 1], indent))
     out.sort(key=lambda x: (x[1], x[0]))
     return out
+
+
+def _crf_spans(sp, ep, confidence: float):
+    """M3 path: span-head probs -> BIOES emissions -> constrained Viterbi ->
+    tag-walk spans (category ids). The span pairing (D1) is still used to
+    place emissions; the CRF replaces the WALK with a structurally
+    constrained max-sum decode, as the reference's CRFModel does with its
+    token logits."""
+    from theta_spark.config import ID2LABEL, LABEL2ID
+    from theta_spark.operators.crf import (
+        bioes_tagset,
+        crf_decode_spans,
+        spans_to_bioes_emissions,
+    )
+
+    decoded = decode_ents(sp[None, :, :], ep[None, :, :], [sp.shape[0]], confidence)[0]
+    cat_spans = [
+        (ID2LABEL[int(cat)], s_tok, e_tok)
+        for cat, ss in decoded.items()
+        for (s_tok, e_tok) in ss
+    ]
+    tags = bioes_tagset(list(LABEL2ID))
+    em = spans_to_bioes_emissions(sp.shape[0], cat_spans, tags)
+    return [(LABEL2ID[c], s, e) for c, s, e in crf_decode_spans(em, tags)]

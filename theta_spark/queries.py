@@ -732,6 +732,37 @@ def kg_triples(spark, sf_dir):
     return extract_triples(corpus).orderBy("doc_id", "pred", "subj", "obj")
 
 
+@query(
+    "kg_triples_prf",
+    """
+    SELECT (SELECT COUNT(*) FROM documents) AS n_docs,
+           CAST(1.0 AS DOUBLE) AS precision_v,
+           CAST(1.0 AS DOUBLE) AS recall_v,
+           CAST(1.0 AS DOUBLE) AS f1
+    """,
+)
+def kg_triples_prf(spark, sf_dir):
+    """The flagship, oracle-checked: engine triples vs the generator's
+    STRUCTURAL gold triples (corpus.py gold_triple_rows — written down at
+    generation time, not produced by running the engine). The engine must
+    recover the gold set exactly (P=R=F1=1.0, the BASELINE target >=0.95
+    with margin); the oracle pins those values as constants plus the
+    table-derived corpus size, so a regression anywhere in segment ->
+    score -> decode -> dedup -> triple assembly flips this row red."""
+    from theta_spark.corpus import GOLD_TRIPLES_SCHEMA, corpus_df, gold_triple_rows
+    from theta_spark.metrics import triple_set_prf
+    from theta_spark.pipeline import extract_triples
+
+    n_docs = _load(spark, sf_dir, "documents").count()
+    corpus, docs = corpus_df(spark, n_docs, seed=42, num_partitions=8, with_docs=True)
+    pred = extract_triples(corpus)
+    gold = spark.createDataFrame(gold_triple_rows(docs), GOLD_TRIPLES_SCHEMA)
+    prf = triple_set_prf(pred, gold)
+    return prf.select(
+        F.lit(n_docs).cast("long").alias("n_docs"), "precision_v", "recall_v", "f1"
+    )
+
+
 # ===================================================================
 # M6/D6 classification + A1-A5 metric aggregations (reference quirks)
 # ===================================================================
@@ -863,3 +894,233 @@ def a45_micro_macro(spark, sf_dir):
     micro = micro_metrics(counts)
     macro = macro_metrics(counts).select("macro_precision", "macro_recall", "macro_f1")
     return micro.crossJoin(macro)
+
+
+@query(
+    "a4_micro_num_labels",
+    _PRED_GOLD_CTE
+    + """
+    SELECT ROUND(SUM(p) / 4, 6) AS micro_precision,
+           ROUND(SUM(r) / 4, 6) AS micro_recall,
+           ROUND(SUM(f1) / 4, 6) AS micro_f1
+    FROM prf2
+    """,
+)
+def a4_micro_num_labels(spark, sf_dir):
+    """A4's exact task_ner.py:1216-1222 variant: iterate ALL id2label
+    categories (absent ones contribute 0) and divide by self.num_labels =
+    len(categories) + 1 — here 3 returnflag categories + 1 = 4."""
+    from theta_spark.metrics import micro_metrics, span_match_counts
+
+    pred, gold = _pred_gold_dfs(spark, sf_dir)
+    counts = span_match_counts(pred, gold, keys=["category", "k1", "k2"])
+    return micro_metrics(counts, num_labels=4)
+
+
+@query(
+    "m6_pair_classify",
+    r"""
+    SELECT doc_id,
+           CAST(list_position(scores, list_max(scores)) - 1 AS INT) AS pred_label
+    FROM (
+      SELECT doc_id,
+             [('0x' || substr(md5('0#' || text || chr(31) || lang), 1, 16))::UBIGINT,
+              ('0x' || substr(md5('1#' || text || chr(31) || lang), 1, 16))::UBIGINT,
+              ('0x' || substr(md5('2#' || text || chr(31) || lang), 1, 16))::UBIGINT,
+              ('0x' || substr(md5('3#' || text || chr(31) || lang), 1, 16))::UBIGINT] AS scores
+      FROM documents
+    ) ORDER BY doc_id
+    """,
+)
+def m6_pair_classify(spark, sf_dir):
+    """M6 sentence-pair shape (task_glue.py:80-92: GlueDataset encodes
+    (text_a, text_b) pairs): classify (text, lang) through the same
+    Arrow-batched stage; stand-in scores text_a + US(0x1f) + text_b, which
+    the oracle reproduces with chr(31)."""
+    from theta_spark.operators.classify import classify_docs
+
+    d = _load(spark, sf_dir, "documents")
+    return (
+        classify_docs(d, num_labels=4, id_col="doc_id", text_col="text", text_b_col="lang")
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "a6_multilabel_prf",
+    r"""
+    WITH p AS (
+      SELECT doc_id, k FROM documents, generate_series(0, 3) t(k)
+      WHERE ('0x' || substr(md5(k::VARCHAR || '#' || text), 1, 16))::UBIGINT
+            > 9223372036854775808::UBIGINT
+    ), g AS (
+      SELECT doc_id, k FROM documents, generate_series(0, 3) t(k)
+      WHERE ('0x' || substr(md5('g' || k::VARCHAR || '#' || text), 1, 4))::INT > 32768
+    ), c AS (
+      SELECT (SELECT COUNT(*) FROM p JOIN g USING (doc_id, k)) AS tp,
+             (SELECT COUNT(*) FROM p) AS np,
+             (SELECT COUNT(*) FROM g) AS ng
+    ), prf AS (
+      SELECT tp, np - tp AS fp, ng - tp AS fn,
+             CASE WHEN np > 0 THEN tp::DOUBLE / np ELSE 0.0 END AS pv,
+             CASE WHEN ng > 0 THEN tp::DOUBLE / ng ELSE 0.0 END AS rv
+      FROM c
+    )
+    SELECT tp, fp, fn,
+           ROUND(pv, 6) AS precision_v,
+           ROUND(rv, 6) AS recall_v,
+           ROUND(CASE WHEN pv + rv > 0 THEN 2 * pv * rv / (pv + rv) ELSE 0.0 END, 6) AS f1
+    FROM prf
+    """,
+)
+def a6_multilabel_prf(spark, sf_dir):
+    """A6 multi-label P/R/F1 (task_glue.py:46-63 p_r_f1 on k-hot matrices):
+    pred = the multi-label classifier (scores > 0.5), gold = an independent
+    deterministic k-hot rule — both md5-derived so the oracle reproduces
+    the full elementwise tp/fp/fn grid bit-for-bit."""
+    from theta_spark.operators.classify import classify_docs, multilabel_prf
+
+    d = _load(spark, sf_dir, "documents")
+    pred = classify_docs(
+        d, num_labels=4, id_col="doc_id", text_col="text", multi_label=True, threshold=0.5
+    ).withColumnRenamed("id", "doc_id")
+    ks = F.sequence(F.lit(0), F.lit(3))
+    gold = d.select(
+        "doc_id",
+        F.filter(
+            ks,
+            lambda k: F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit("g"), k.cast("string"), F.lit("#"), F.col("text"))),
+                    1, 4,
+                ),
+                16, 10,
+            ).cast("int")
+            > 32768,
+        ).alias("gold_labels"),
+    )
+    return multilabel_prf(pred, gold, on="doc_id")
+
+
+def _m7_weights():
+    from theta_spark.operators.ensemble import newton_cooling_weights
+
+    return newton_cooling_weights(3, lamb=1 / 3)
+
+
+_M7_W = _m7_weights()
+_M7_FRAC = (
+    "(('0x' || substr(md5(concat({m}, '|', p, '|', k, '|', doc_id)), 1, 4))::INT / 65536.0)"
+)
+_M7_AVG = "(" + " + ".join(
+    f"{_M7_FRAC.format(m=m)} * {w!r}" for m, w in enumerate(_M7_W)
+) + f") / {sum(_M7_W)!r}"
+
+
+@query(
+    "m7_logit_ensemble",
+    f"""
+    SELECT doc_id, position,
+           CAST(list_position(avg_scores, list_max(avg_scores)) - 1 AS INT) AS pred_label
+    FROM (
+      SELECT doc_id, CAST(p AS INT) AS position,
+             list_transform(generate_series(0, 3), k -> {_M7_AVG}) AS avg_scores
+      FROM documents, generate_series(0, 7) t(p)
+    )
+    ORDER BY doc_id, position
+    """,
+)
+def m7_logit_ensemble(spark, sf_dir):
+    """M7 logit-level ensemble (ner_models.py:446-516): three 'models' emit
+    per-position class-score tensors (md5-derived so the oracle can rebuild
+    them); the engine averages with Newton-cooling weights exp(-t/3)
+    (weight() at :476-480), divides by the weight sum as predict() does —
+    all via the JVM nested zip_with in operators.ensemble.weighted_avg_probs
+    — and argmax-decodes ONCE over the averaged scores."""
+    from theta_spark.operators.ensemble import weighted_avg_probs
+
+    d = _load(spark, sf_dir, "documents")
+
+    def probs(m: int):
+        return F.transform(
+            F.sequence(F.lit(0), F.lit(7)),
+            lambda p: F.transform(
+                F.sequence(F.lit(0), F.lit(3)),
+                lambda k: F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat_ws(
+                                "|",
+                                F.lit(str(m)),
+                                p.cast("string"),
+                                k.cast("string"),
+                                F.col("doc_id").cast("string"),
+                            )
+                        ),
+                        1, 4,
+                    ),
+                    16, 10,
+                ).cast("int")
+                / F.lit(65536.0),
+            ),
+        )
+
+    avg = weighted_avg_probs([probs(0), probs(1), probs(2)], _M7_W)
+    return (
+        d.select("doc_id", F.posexplode(avg).alias("position", "avg_scores"))
+        .select(
+            "doc_id",
+            "position",
+            (F.array_position("avg_scores", F.array_max("avg_scores")) - 1)
+            .cast("int")
+            .alias("pred_label"),
+        )
+        .orderBy("doc_id", "position")
+    )
+
+
+@query(
+    "dd_cluster_resolve",
+    r"""
+    WITH RECURSIVE toks AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), x -> x != '') AS tk
+      FROM documents
+    ), grams AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               generate_series(0, greatest(len(tk) - 3, 0)),
+               i -> array_to_string(list_slice(tk, i + 1, i + 3), ' '))) AS g
+      FROM toks
+    ), pairs AS (
+      SELECT a.doc_id AS a, b.doc_id AS b
+      FROM grams a JOIN grams b ON a.doc_id < b.doc_id
+      WHERE len(list_intersect(a.g, b.g))::DOUBLE / len(list_distinct(a.g || b.g)) >= 0.8
+    ), edges AS (
+      SELECT a, b FROM pairs UNION SELECT b, a FROM pairs
+    ), walk(node, label) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.a, w.label FROM edges e JOIN walk w ON e.b = w.node
+    )
+    SELECT node AS doc_id, MIN(label) AS keeper FROM walk
+    GROUP BY node ORDER BY doc_id
+    """,
+)
+def dd_cluster_resolve(spark, sf_dir):
+    """Near-dup cluster RESOLUTION — what a 100-TB dedup pipeline actually
+    ends with: LSH pair stream -> connected components (alternating
+    large-star/small-star) -> one keeper per cluster (min doc_id);
+    singleton docs keep themselves. The oracle recomputes the exact pair
+    set all-pairs and closes it transitively with a recursive CTE."""
+    from theta_spark.canonicalize import connected_components
+    from theta_spark.functions.dedup import ngram_jaccard_pairs
+
+    d = _load(spark, sf_dir, "documents").select("doc_id", "text")
+    pairs = ngram_jaccard_pairs(d, "doc_id", "text", k=3, threshold=0.8).select("a", "b")
+    comp = connected_components(pairs, nodes=d.select("doc_id"), name_col="doc_id")
+    return (
+        comp.select(F.col("name").alias("doc_id"), F.col("component").alias("keeper"))
+        .orderBy("doc_id")
+    )

@@ -34,15 +34,18 @@ def segment_offsets(text: str, seg_len: int, seg_stride: int):
     return out
 
 
-def extract_doc_mentions(text: str, seg_len: int = 126, seg_stride: int = 63, confidence: float = 0.0):
+def extract_doc_mentions(text: str, seg_len: int = 126, seg_stride: int = 63, confidence: float = 0.0,
+                         scorer=None, decoder: str = "span"):
     """Segment -> score+decode per segment -> un-shift -> order-preserving
     dedup (task_ner.py:1391-1415). Returns list of dicts with doc-global
-    char offsets, first-occurrence order preserved."""
+    char offsets, first-occurrence order preserved. `scorer`/`decoder`
+    select the model implementation (RuleScorer/MLPScorer) and the decode
+    walk (span pairing / constrained Viterbi) — see operators.scoring."""
     seen = set()
     out = []
     for s_seg, seg_text in segment_offsets(text, seg_len, seg_stride):
         for cat, cs, ce, mention, indent in extract_mentions(
-            seg_text, confidence, visible_start=(s_seg == 0)
+            seg_text, confidence, visible_start=(s_seg == 0), scorer=scorer, decoder=decoder
         ):
             key = (cat, cs + s_seg, ce + s_seg)  # str(ent) key, task_ner.py:1410
             if key in seen:

@@ -148,3 +148,103 @@ def submission_df(mentions: DataFrame) -> DataFrame:
 
 def write_submission(mentions: DataFrame, path: str) -> None:
     submission_df(mentions).write.mode("overwrite").json(path)
+
+
+def load_cluener(spark: SparkSession, path: str):
+    """CLUENER-format adapter (reference fixture shape,
+    theta/tutorials/cluener/data/cluener_train_data.json: one JSON object
+    per line {guid, text, tags:[{category,start,mention}]}) -> the S2
+    (valid, rejected) split. `guid` maps onto the engine's `idx`; offsets
+    are CHARACTER offsets (the fixture is Chinese text, so byte offsets
+    would fail the span-slice check — substr on Spark strings is
+    char-based, matching)."""
+    df = (
+        spark.read.schema(
+            T.StructType(
+                [
+                    T.StructField("guid", T.StringType()),
+                    T.StructField("text", T.StringType()),
+                    T.StructField("tags", T.ArrayType(ENTITY_TAG_TYPE)),
+                ]
+            )
+        )
+        .json(path)
+        .withColumnRenamed("guid", "idx")
+    )
+    bad_tag = F.exists(
+        F.col("tags"),
+        lambda t: t["category"].isNull()
+        | t["start"].isNull()
+        | t["mention"].isNull()
+        | (t["start"] < 0)
+        | (
+            F.col("text").substr(t["start"] + 1, F.length(t["mention"]))
+            != t["mention"]
+        ),
+    )
+    reason = (
+        F.when(F.col("idx").isNull(), "missing idx")
+        .when(F.col("text").isNull(), "missing text")
+        .when(F.col("tags").isNull(), "missing tags")
+        .when(bad_tag, "invalid tag (schema or span-slice mismatch)")
+    )
+    annotated = df.withColumn("reject_reason", reason)
+    valid = annotated.filter(F.col("reject_reason").isNull()).drop("reject_reason")
+    rejected = annotated.filter(F.col("reject_reason").isNotNull())
+    return valid, rejected
+
+
+def brat_export_df(mentions: DataFrame) -> DataFrame:
+    """S6 brat standoff export: one row per document (doc_id, ann) where
+    `ann` is the .ann file body — lines "T<i>\\t<category> <start> <end_excl>
+    \\t<mention>", numbered in start order per doc. (The reference's own brat
+    module is absent from the snapshot — SURVEY.md §2.1 S6; format per the
+    public brat standoff spec.) Built with JVM array ops: collect per doc,
+    sort by start, transform to lines — no Python."""
+    tags = mentions.select(
+        "doc_id",
+        F.struct(
+            F.col("start").cast("long").alias("start"),
+            (F.col("end").cast("long") + 1).alias("end_excl"),
+            F.col("category").alias("category"),
+            F.col("mention").alias("mention"),
+        ).alias("tag"),
+    )
+    return (
+        tags.groupBy("doc_id")
+        .agg(F.array_sort(F.collect_list("tag")).alias("tags"))
+        .select(
+            "doc_id",
+            F.array_join(
+                F.transform(
+                    F.col("tags"),
+                    lambda t, i: F.concat_ws(
+                        "",
+                        F.lit("T"), (i + 1).cast("string"), F.lit("\t"),
+                        t["category"], F.lit(" "),
+                        t["start"].cast("string"), F.lit(" "),
+                        t["end_excl"].cast("string"), F.lit("\t"),
+                        t["mention"],
+                    ),
+                ),
+                "\n",
+            ).alias("ann"),
+        )
+    )
+
+
+def parse_brat_df(anns: DataFrame) -> DataFrame:
+    """S6 import: (doc_id, ann) -> mention rows (doc_id, category, start,
+    end inclusive, mention) — the standoff lines split relationally."""
+    lines = anns.select(
+        "doc_id", F.explode(F.split(F.col("ann"), "\n")).alias("line")
+    ).filter(F.col("line").startswith("T"))
+    mid = F.split(F.col("line"), "\t")
+    head = F.split(mid.getItem(1), " ")
+    return lines.select(
+        "doc_id",
+        head.getItem(0).alias("category"),
+        head.getItem(1).cast("int").alias("start"),
+        (head.getItem(2).cast("int") - 1).alias("end"),
+        mid.getItem(2).alias("mention"),
+    )
