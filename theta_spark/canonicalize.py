@@ -4,23 +4,24 @@ North-rule requirement (BASELINE.json): canonicalize entities via MinHash-LSH
 blocking plus connected components. Not present in the reference (its dedup
 is exact-key only — SURVEY.md §2.7); built Spark-first here:
 
-1. shingle each distinct name into char-k-grams (pure column exprs);
-2. MinHash signature computed INLINE from the name string (array_min over
-   xxhash64 of the shingle array — a narrow projection, no shingle table,
-   no groupBy: entity names are short, so the whole signature is a few
-   hundred JVM hash calls per row);
-3. LSH banding: explode bands -> groupBy(band, bucket) -> collect_list ->
-   inline pair combinations. One shuffle; no bucket self-join, no window.
-   Oversized buckets (degenerate bands) are dropped (`max_bucket`);
-4. exact Jaccard verify computed INLINE from the two name strings
-   (array_intersect/array_union of their shingle arrays) — candidate
-   volume is driven by the corpus's real similarity structure (numeric-
-   suffix identifier families produce millions of 0.6-0.8-similar pairs at
-   1M names), so the verify must be a narrow expression, not a join
-   against an exploded shingle table;
-5. connected components by iterative min-label propagation over the (tiny)
-   surviving edge set, localCheckpoint per iteration, fixpoint on count;
-6. canonical id = min name in each component; identity names omitted.
+1. shingle each distinct name into char-k-grams (pure column exprs); the
+   distinct-name table is checkpointed ONCE (recompute amplification of
+   its lineage across the candidate self-joins was the dominant cost of
+   the whole graph phase before this);
+2. candidate pairs routed by shingle count:
+   - short names (the bulk of an identifier vocabulary): deletion-
+     neighborhood blocking (`deletion_candidate_pairs`) — EXACT at high
+     thresholds, no probabilistic machinery;
+   - long tail: MinHash signatures computed INLINE (array_min over
+     xxhash64 of the shingle array), LSH banding with window-capped
+     buckets + a co-partitioned self-join, and a signature-agreement
+     prefilter before the exact verify;
+3. exact Jaccard verify computed INLINE from the two name strings
+   (array_intersect/array_union of their shingle arrays) on the distinct
+   candidate stream; the verified edge set is checkpointed eagerly;
+4. connected components by alternating large-star/small-star over the
+   (tiny) surviving edge set, one fingerprint action per round;
+5. canonical id = min name in each component; identity names omitted.
 
 At 10^12-file scale the distinct-name table is orders of magnitude smaller
 than mentions; the only wide ops are names.distinct(), the bucket groupBy,
@@ -88,27 +89,49 @@ def minhash_signatures(sh: DataFrame, name_col: str = "name", num_hashes: int = 
 
 
 def lsh_candidate_pairs(
-    sig: DataFrame, name_col: str = "name", bands: int = 8, max_bucket: int = 64
+    sig: DataFrame, name_col: str = "name", bands: int = 8, max_bucket: int = 64,
+    min_agree: int | None = None,
 ) -> DataFrame:
     """Band the signature; names sharing any (band_id, band_hash) bucket are
-    candidates. Returns (a, b) with a < b; the SAME pair may appear once per
-    matching band — run the (cheap) verify first and dedup the (small)
-    surviving edge set, not the raw candidate stream.
+    candidates. Returns DISTINCT (a, b) with a < b.
 
     `max_bucket` caps degenerate buckets: short identifier names share most
     of their few shingles, so without a cap one hot band bucket yields
     O(bucket^2) pairs — the classic LSH-at-scale failure. Oversized buckets
     are NOT dropped (a short-identifier family can exceed the cap in EVERY
     band, which would silently lose its true near-dup edges); instead a
-    deterministic pseudo-random sample of max_bucket members (ordered by
-    xxhash64(name)) still emits capped pairs, so hot families keep
-    surfacing edges — recall degrades gracefully instead of cliffing, and
-    the transitive closure of the surviving edges recovers most of the
-    family's component."""
+    deterministic pseudo-random sample of max_bucket members (window
+    row_number ordered by xxhash64(name)) still emits capped pairs, so hot
+    families keep surfacing edges — recall degrades gracefully instead of
+    cliffing, and the transitive closure of the surviving edges recovers
+    most of the family's component.
+
+    Physical shape (reworked after profiling 200k-name runs): window-cap
+    then SELF-JOIN on (band_id, bucket). The row_number window and both
+    join sides hash-partition on the same key, so the join adds no extra
+    exchange; pairs stream out of the join in parallel instead of being
+    built inside per-bucket collect_list arrays (the former nested
+    transform/flatten was a per-bucket serial hotspot and dominated the
+    graph phase). The cap bounds the join fan-out at max_bucket^2/2 per
+    bucket. Candidates are distinct()-ed HERE, before the exact-Jaccard
+    verify: a pair can surface in up to `bands` buckets and the verify is
+    expensive interpreted array math per pair — deduping the stream first
+    cuts that work by the duplication factor, while the distinct itself is
+    a cheap shuffle of short string pairs.
+
+    `min_agree` (optional): minhash-agreement prefilter — keep a pair only
+    if >= min_agree of its num_hashes signature slots match. The signature
+    is already in hand on both join sides, the per-pair check is one
+    zip_with equality count (an order of magnitude cheaper than the exact
+    shingle Jaccard), and E[agreement] = J * num_hashes, so a cutoff a
+    safety margin below threshold*num_hashes drops the bulk of the
+    0.5-0.7-similar candidate mass (numeric-suffix identifier families)
+    while passing true >=threshold pairs with probability ~1."""
     sig = sig.withColumn("_n", F.size("sig"))
     rows_per_band = F.floor(F.col("_n") / bands).cast("int")
+    proj = [F.col(name_col).alias("name")] + ([F.col("sig")] if min_agree is not None else [])
     banded = sig.select(
-        F.col(name_col).alias("name"),
+        *proj,
         F.posexplode(
             F.transform(
                 F.sequence(F.lit(0), F.lit(bands - 1)),
@@ -116,42 +139,72 @@ def lsh_candidate_pairs(
             )
         ).alias("band_id", "band"),
     ).withColumn("bucket", F.hash("band_id", F.col("band").cast("string")))
-    # one shuffle: bucket members collected per (band, bucket); pair
-    # combinations generated inline (no self-join, no window count)
-    sampled = F.transform(
-        F.slice(
-            F.array_sort(
-                F.transform(
-                    F.col("ms_all"),
-                    lambda m: F.struct(F.xxhash64(m).alias("h"), m.alias("m")),
-                )
-            ),
-            1,
-            max_bucket,
-        ),
-        lambda s: s["m"],
+    w = Window.partitionBy("band_id", "bucket").orderBy(F.xxhash64("name"), "name")
+    carry = ["band_id", "bucket", "name"] + (["sig"] if min_agree is not None else [])
+    # materialized for the same both-sides-of-the-self-join reason as in
+    # deletion_candidate_pairs
+    capped = (
+        banded.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= max_bucket)
+        .select(*carry)
+        .localCheckpoint(eager=True)
     )
-    buckets = (
-        banded.groupBy("band_id", "bucket")
-        .agg(F.collect_list("name").alias("ms_all"))
-        .filter(F.size("ms_all") >= 2)
-        .withColumn(
-            "ms",
-            F.when(F.size("ms_all") <= max_bucket, F.col("ms_all")).otherwise(sampled),
-        )
-    )
-    combos = F.flatten(
-        F.transform(
-            F.col("ms"),
-            lambda x, i: F.transform(
-                F.slice(F.col("ms"), i + 2, F.size(F.col("ms"))),
-                lambda y: F.struct(
-                    F.least(x, y).alias("a"), F.greatest(x, y).alias("b")
+    left = capped.withColumnRenamed("name", "a").withColumnRenamed("sig", "sig_a")
+    right = capped.withColumnRenamed("name", "b").withColumnRenamed("sig", "sig_b")
+    joined = left.join(right, on=["band_id", "bucket"]).filter(F.col("a") < F.col("b"))
+    if min_agree is not None:
+        agree = F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda v: v))
+        joined = joined.filter(agree >= min_agree)
+    return joined.select("a", "b").distinct()
+
+
+def deletion_candidate_pairs(
+    names: DataFrame, name_col: str = "name", k: int = 3, max_bucket: int = 64
+) -> DataFrame:
+    """Deletion-neighborhood blocking (SymSpell-style) for SHORT names —
+    EXACT for high thresholds: if both names have <= ~18 distinct shingles,
+    J(A,B) >= 0.9 forces |A Δ B| <= 1 ((n+m)(1-J)/(1+J) < 2), i.e. B is A,
+    or A minus one shingle, or vice versa — so every true pair shares one
+    of the keys {hash(full set)} ∪ {hash(set minus element i)}. Emitting
+    candidates per shared key finds ALL >=0.9 pairs with zero probabilistic
+    machinery: no minhash signatures, no banding, no agreement estimate.
+
+    Cost: ~(n+1) keys per name (n = shingle count, <= ~19), one explode +
+    one co-partitioned self-join — profiled ~10x cheaper than the
+    minhash-LSH path on a 200k-name table dominated by numeric-suffix
+    identifier families (whose LSH buckets flood with 0.5-0.7-similar
+    noise that deletion keys never pair). `max_bucket` caps identical-set
+    families (true duplicate clusters) the same way the LSH path does."""
+    arr = F.array_sort(shingle_array(F.col(name_col), k))
+    keyed = names.select(F.col(name_col).alias("name"), arr.alias("sh")).select(
+        "name",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("sh")),
+                lambda i: F.xxhash64(
+                    F.concat_ws("\x01", F.filter(F.col("sh"), lambda x, j: j != i - 1))
                 ),
-            ),
-        )
+            )
+        ).alias("key"),
     )
-    return buckets.select(F.explode(combos).alias("p")).select("p.a", "p.b")
+    w = Window.partitionBy("key").orderBy(F.xxhash64("name"), "name")
+    # materialize before the self-join: both join sides scan the same
+    # checkpointed table instead of re-executing the key-explode lineage
+    # (the table is ~(n_shingles+1) longs per name — small)
+    capped = (
+        keyed.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= max_bucket)
+        .select("key", "name")
+        .localCheckpoint(eager=True)
+    )
+    left = capped.withColumnRenamed("name", "a")
+    right = capped.withColumnRenamed("name", "b")
+    return (
+        left.join(right, on="key")
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
 
 
 def jaccard_inline(pairs: DataFrame, k: int = 3, threshold: float = 0.9) -> DataFrame:
@@ -248,7 +301,16 @@ def connected_components(edges: DataFrame, nodes: DataFrame | None = None, name_
         .distinct()
         .localCheckpoint(eager=True)
     )
-    e = raw.where(F.col("a") != F.col("b")).distinct().localCheckpoint(eager=True)
+    # the surviving near-dup edge set is orders of magnitude smaller than
+    # the name table — collapse it to a few partitions so each star round's
+    # window pass is a handful of tasks, not shuffle_partitions near-empty
+    # ones (the rounds' fixed cost is what bounds CC at high parallelism)
+    e = (
+        raw.where(F.col("a") != F.col("b"))
+        .distinct()
+        .coalesce(8)
+        .localCheckpoint(eager=True)
+    )
 
     def fingerprint(df: DataFrame):
         row = df.agg(
@@ -295,11 +357,45 @@ def canonicalize_names(
     max_bucket: int = 64,
 ) -> DataFrame:
     """(name) distinct -> (name, canonical). Names in the same near-duplicate
-    component share the lexicographically smallest member as canonical."""
-    names = names.select(F.col(name_col).alias("name")).distinct()
-    sig = inline_signatures(names, "name", k, num_hashes)
-    pairs = lsh_candidate_pairs(sig, "name", bands, max_bucket)
-    edges = jaccard_inline(pairs, k, threshold)
+    component share the lexicographically smallest member as canonical.
+
+    Candidate generation is routed by shingle count (profiled on 200k-name
+    tables; see deletion_candidate_pairs):
+    - names with <= B shingles, B = ceil((1+thr)/(1-thr)) - 1 (18 at
+      thr=0.9): deletion-neighborhood blocking — EXACT at the threshold,
+      no minhash;
+    - longer names (a small tail for identifier vocabularies): the
+      MinHash-LSH banding path with the signature-agreement prefilter.
+      The long subset starts at B-1 so cross-boundary pairs (one name just
+      under B shingles, one just over) are seen by the LSH path too.
+    The union is verified by exact Jaccard and materialized eagerly ONCE
+    before connected components (whose own eager checkpoints would
+    otherwise recompute the whole candidate DAG per action)."""
+    import math
+
+    # ONE materialization of the distinct name table: every consumer below
+    # (the short/long routing filters and both sides of each candidate
+    # self-join) would otherwise re-execute the full upstream lineage —
+    # scan + distinct shuffle + interpreted shingle expressions — per use
+    # (profiled: the recompute amplification, not the candidate math, was
+    # the dominant cost of the whole graph phase). The distinct-name table
+    # is orders of magnitude smaller than the mention stream, so the
+    # checkpoint is cheap; on a cluster this is a persisted dataset.
+    names = names.select(F.col(name_col).alias("name")).distinct().localCheckpoint(eager=True)
+    n_sh = F.size(F.array_distinct(shingle_array(F.col("name"), k)))
+    max_short = max(2, math.ceil((1 + threshold) / (1 - threshold)) - 1) if threshold < 1 else 64
+    short = names.filter(n_sh <= max_short)
+    long_tail = names.filter(n_sh >= max_short - 1)
+    pairs_short = deletion_candidate_pairs(short, "name", k, max_bucket)
+    sig = inline_signatures(long_tail, "name", k, num_hashes)
+    # minhash-agreement prefilter a 0.25-wide safety margin below the
+    # verify threshold: P(drop | true J >= threshold) ~ 0.3% at 16 hashes,
+    # while most sub-0.7 candidate mass dies before the expensive exact
+    # verify (see lsh_candidate_pairs)
+    min_agree = math.ceil(max(0.0, threshold - 0.25) * num_hashes)
+    pairs_long = lsh_candidate_pairs(sig, "name", bands, max_bucket, min_agree=min_agree)
+    pairs = pairs_short.union(pairs_long).distinct()
+    edges = jaccard_inline(pairs, k, threshold).localCheckpoint(eager=True)
     # CC over edge members only; names with no near-duplicate are identity
     # and are NOT returned — callers coalesce(canonical, name)
     comp = connected_components(edges, nodes=None, name_col="name", max_iters=max_iters)

@@ -50,9 +50,10 @@ def ngram_jaccard_pairs(
     Jaccard >= threshold, found via MinHash-LSH blocking."""
     sh = word_shingles(df, id_col, text_col, k)
     sig = minhash_signatures(sh, "name", num_hashes)
-    # distinct BEFORE the join-based verify: a pair surfacing in several
-    # bands would otherwise multiply its intersection counts
-    pairs = lsh_candidate_pairs(sig, "name", bands, max_bucket).distinct()
+    # lsh_candidate_pairs emits distinct pairs (required: a pair surfacing
+    # in several bands would otherwise multiply its intersection counts in
+    # the join-based verify)
+    pairs = lsh_candidate_pairs(sig, "name", bands, max_bucket)
     return jaccard_filter(pairs, sh, "name", threshold)
 
 

@@ -89,6 +89,13 @@ def build_nodes_edges(triples: DataFrame, mentions: DataFrame, cfg: PipelineConf
     """
     cfg = cfg or PipelineConfig()
     names = mentions.select(F.col("norm").alias("name"))
+    # Materialize the canonical map ONCE: it is consumed by three joins
+    # (mention re-key, triple subj, triple obj) across two output tables,
+    # and without the eager cut each consumer would re-execute the whole
+    # LSH banding + exact-Jaccard verify DAG (~minutes at 10^5 names —
+    # profiled as the graph phase's dominant cost). The map itself is tiny
+    # (only names with a near-duplicate), so the checkpoint is cheap and
+    # the subsequent broadcasts ship a materialized table.
     canon = canonicalize_names(
         names,
         k=cfg.shingle_k,
@@ -96,7 +103,7 @@ def build_nodes_edges(triples: DataFrame, mentions: DataFrame, cfg: PipelineConf
         bands=cfg.lsh_bands,
         threshold=cfg.jaccard_threshold,
         max_iters=cfg.cc_max_iters,
-    )
+    ).localCheckpoint(eager=True)
 
     canon_b = F.broadcast(canon)  # distinct entity names << mentions
     m = mentions.join(canon_b.withColumnRenamed("name", "norm"), on="norm", how="left").withColumn(
