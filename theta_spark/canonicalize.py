@@ -333,7 +333,7 @@ def connected_components(edges: DataFrame, nodes: DataFrame | None = None, name_
         raw.select(F.col("a").alias("name"))
         .union(raw.select(F.col("b").alias("name")))
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     # the surviving near-dup edge set is orders of magnitude smaller than
     # the name table — collapse it to a few partitions so each star round's
@@ -343,7 +343,7 @@ def connected_components(edges: DataFrame, nodes: DataFrame | None = None, name_
         raw.where(F.col("a") != F.col("b"))
         .distinct()
         .coalesce(8)
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
 
     def fingerprint(df: DataFrame):
@@ -355,7 +355,10 @@ def connected_components(edges: DataFrame, nodes: DataFrame | None = None, name_
 
     prev = None
     for _ in range(max_iters):
-        e = _small_star(_large_star(e)).localCheckpoint(eager=True)
+        # lazy checkpoint: the fingerprint aggregate is the round's ONE
+        # action and materializes the checkpoint as a side effect — one
+        # driver round-trip per round instead of two (eager + fingerprint)
+        e = _small_star(_large_star(e)).localCheckpoint(eager=False)
         fp = fingerprint(e)
         if fp == prev:
             break
@@ -415,7 +418,23 @@ def canonicalize_names(
     # the dominant cost of the whole graph phase). The distinct-name table
     # is orders of magnitude smaller than the mention stream, so the
     # checkpoint is cheap; on a cluster this is a persisted dataset.
-    names = names.select(F.col(name_col).alias("name")).distinct().localCheckpoint(eager=True)
+    #
+    # Explicit repartition to the cluster's parallelism BEFORE the
+    # checkpoint: AQE coalesces the distinct's output to ONE partition
+    # (the table is a few MB), which would serialize every downstream
+    # interpreted expression — shingle arrays, deletion keys, minhash
+    # signatures — onto a single core (profiled: the whole candidate
+    # phase ran 1-partition serial and therefore did not speed up from
+    # local[2] to local[8]). AQE does not re-coalesce a user-specified
+    # repartition, so the candidate compute fans out across the cluster
+    # while the shuffles stay tiny.
+    par = names.sparkSession.sparkContext.defaultParallelism
+    names = (
+        names.select(F.col(name_col).alias("name"))
+        .distinct()
+        .repartition(par)
+        .localCheckpoint(eager=True)
+    )
     n_sh = F.size(F.array_distinct(shingle_array(F.col("name"), k)))
     max_short = max(2, math.ceil((1 + threshold) / (1 - threshold)) - 1) if threshold < 1 else 64
     short = names.filter(n_sh <= max_short)
