@@ -6,8 +6,10 @@ import numpy as np
 
 from theta_spark.functions.similarity import (
     brute_force_topk,
+    cell_centroids,
     cosine_near_dup_pairs,
     ivf_topk,
+    ivf_topk_multiprobe,
     with_unit_vec,
 )
 
@@ -58,6 +60,45 @@ def test_ivf_restricts_to_cell(spark):
     out = ivf_topk(e, q, k=50).collect()
     labels = {r.vec_id: r.label for r in e.collect()}
     assert out and all(labels[r.neighbor_id] == 1 for r in out)
+
+
+def test_cell_centroids_elementwise_mean(spark):
+    e = _embeddings(spark)
+    cents = {r.cell: list(r.cvec) for r in cell_centroids(e).collect()}
+    rows = [(r.label, np.array(r.embedding)) for r in e.collect()]
+    for cell in (0, 1, 2):
+        units = [v / np.linalg.norm(v) for lbl, v in rows if lbl == cell]
+        expect = [round(float(x), 6) for x in np.mean(units, axis=0)]
+        assert cents[cell] == expect
+
+
+def test_multiprobe_recall_dominates_single_probe(spark):
+    """nprobe=2 candidates are a superset of the query's own-cell hits
+    whenever the own cell ranks in the top 2 probes, and recall vs brute
+    force never decreases going single -> multi."""
+    e = _embeddings(spark)
+    qs = e.filter("vec_id % 10 = 0")
+    truth = {
+        (r.query_id, r.neighbor_id) for r in brute_force_topk(e, qs, k=5).collect()
+    }
+    single = {
+        (r.query_id, r.neighbor_id) for r in ivf_topk(e, qs, k=5).collect()
+    }
+    multi = {
+        (r.query_id, r.neighbor_id)
+        for r in ivf_topk_multiprobe(e, qs, k=5, nprobe=2).collect()
+    }
+    assert len(multi & truth) >= len(single & truth)
+
+
+def test_multiprobe_all_cells_equals_brute_force(spark):
+    """Probing every cell degenerates to exact search: same pairs, sims,
+    and ranks as the brute-force baseline."""
+    e = _embeddings(spark)
+    qs = e.filter("vec_id % 10 = 0")
+    bf = sorted(map(tuple, brute_force_topk(e, qs, k=5).collect()))
+    mp = sorted(map(tuple, ivf_topk_multiprobe(e, qs, k=5, nprobe=3).collect()))
+    assert bf == mp
 
 
 def test_cosine_near_dup_pairs_planted(spark):

@@ -104,6 +104,89 @@ def ivf_topk(
     )
 
 
+def cell_centroids(
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+    cell_col: str = "label",
+    decimals: int = 6,
+) -> DataFrame:
+    """(cell, cvec): per-cell element-wise mean of the UNIT vectors — the
+    coarse quantizer codebook an IVF index probes against. posexplode +
+    groupBy(cell, pos) is one shuffle keyed (cell, pos); the rebuilt array
+    is ordered by position. Components are ROUNDed so the centroid is
+    reproducible across engines and partition orders (float summation
+    order differs; at `decimals`=6 a boundary flip needs a ~1e-12
+    coincidence)."""
+    u = with_unit_vec(corpus, vec_col)
+    per_dim = (
+        u.select(F.col(cell_col).alias("cell"), F.posexplode("unit").alias("pos", "x"))
+        .groupBy("cell", "pos")
+        .agg(F.round(F.avg("x"), decimals).alias("c"))
+    )
+    return (
+        per_dim.groupBy("cell")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "c"))).alias("pc"))
+        .select("cell", F.transform("pc", lambda s: s["c"]).alias("cvec"))
+    )
+
+
+def ivf_topk_multiprobe(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cell_col: str = "label",
+) -> DataFrame:
+    """IVF multi-probe top-k: each query probes its `nprobe` nearest cells
+    by centroid cosine (not just its own cell), recovering neighbors that
+    sit across a cell boundary — the standard recall lever of a real IVF
+    index (nprobe trades candidates scanned for recall).
+
+    Physical shape: centroids are a tiny table (n_cells rows) — the
+    query-to-cell ranking is a broadcast nested-loop over it; the probe
+    list (query_id, cell) stays broadcast-sized (|Q| * nprobe), so the
+    candidate fetch is ONE equi-join of the corpus against a broadcast
+    probe table: the corpus is scanned once, never shuffled, and AQE
+    splits a hot cell. Scoring/ranking mirror brute_force_topk (rounded
+    dot, id tiebreak) so results are engine-reproducible."""
+    cent = cell_centroids(corpus, vec_col, cell_col)
+    q = with_unit_vec(queries, vec_col).select(
+        F.col(id_col).alias("query_id"), F.col("unit").alias("qu")
+    )
+    cell_scored = q.crossJoin(F.broadcast(cent)).select(
+        "query_id",
+        "cell",
+        "qu",
+        F.round(_dot(F.col("qu"), F.col("cvec")), 4).alias("cell_sim"),
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.desc("cell_sim"), F.asc("cell"))
+    probes = (
+        cell_scored.withColumn("prk", F.row_number().over(wq))
+        .filter(F.col("prk") <= nprobe)
+        .select("query_id", "cell", "qu")
+    )
+    c = with_unit_vec(corpus, vec_col).select(
+        F.col(cell_col).alias("cell"), F.col(id_col).alias("neighbor_id"), F.col("unit").alias("cu")
+    )
+    scored = (
+        c.join(F.broadcast(probes), on="cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(_dot(F.col("cu"), F.col("qu")), 4).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rk")
+    )
+
+
 def cosine_near_dup_pairs(
     df: DataFrame,
     threshold: float = 0.95,
