@@ -108,3 +108,38 @@ def test_mlp_through_spark_stage(spark, corpus50, mlp):
     p, r = tp / len(neural), tp / len(rule)
     f1 = 2 * p * r / (p + r)
     assert f1 >= 0.95, (p, r, f1)
+
+
+def test_config_scorer_decoder_plumbing(spark, corpus50):
+    """cfg.scorer/cfg.decoder select the head through the PIPELINE API
+    (not just the stage): 'mlp' resolves to the trained MLPScorer, unknown
+    values fail fast, and the cfg-driven run matches the explicit-scorer
+    run of the same stage exactly."""
+    import pytest
+
+    from theta_spark.config import PipelineConfig
+    from theta_spark.operators.neural import MLPScorer, default_mlp_scorer
+    from theta_spark.pipeline import _resolve_scorer, extract_mentions_df, with_doc_id
+    from theta_spark.operators.extract import extract_doc_mentions_df
+
+    assert _resolve_scorer(PipelineConfig()) is None
+    assert isinstance(_resolve_scorer(PipelineConfig(scorer="mlp")), MLPScorer)
+    with pytest.raises(ValueError):
+        _resolve_scorer(PipelineConfig(scorer="bert"))
+
+    cfg = PipelineConfig(scorer="mlp")
+    via_cfg = {
+        tuple(r)
+        for r in extract_mentions_df(corpus50, cfg)
+        .select("doc_id", "category_id", "start", "end")
+        .collect()
+    }
+    explicit = {
+        tuple(r)
+        for r in extract_doc_mentions_df(
+            with_doc_id(corpus50), cfg.seg_len, cfg.seg_stride, scorer=default_mlp_scorer()
+        )
+        .select("doc_id", "category_id", "start", "end")
+        .collect()
+    }
+    assert via_cfg == explicit

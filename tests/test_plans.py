@@ -63,3 +63,21 @@ def test_doc_id_projection_prunes_corpus(spark, corpus50):
     d = with_doc_id(corpus50).select("doc_id")
     p = plan_of(d)
     assert "sha2" not in p.lower().split("== physical plan ==")[-1]
+
+
+def test_multiprobe_corpus_never_shuffles(spark):
+    """IVF multi-probe: the corpus side reaches its scorer through
+    broadcast joins only — the only Exchange writes allowed are the tiny
+    centroid aggregation's (cell, pos) shuffle and broadcast exchanges.
+    At 10^9 vectors the corpus table must not hash-repartition."""
+    from theta_spark.functions.similarity import ivf_topk_multiprobe
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = e.filter(F.col("vec_id") % 25 == 0)
+    p = plan_of(ivf_topk_multiprobe(e, q, k=5, nprobe=2))
+    phys = p.split("== Physical Plan ==")[-1].split("== Initial Plan ==")[0]
+    assert "BroadcastHashJoin" in phys or "BroadcastNestedLoopJoin" in phys
+    # hash exchanges: centroid per-(cell,pos) agg + its rebuild + the final
+    # per-query rank window; none keyed on the corpus row id
+    assert "Exchange hashpartitioning(vec_id" not in phys
+    assert "Exchange hashpartitioning(neighbor_id" not in phys

@@ -28,6 +28,12 @@ class PipelineConfig:
     fuse_doc_stage: bool = True    # fuse seg+score+decode+dedup per doc (no
                                    # shuffle); False = relational seg-level path
     min_mention_len: int = 1
+    # model head selection (M1-M5/M9): both scorers satisfy the same
+    # seg_texts -> (start_probs, end_probs, offsets) contract and run
+    # through the identical fused mapInPandas stage; both decoders walk
+    # the same prob tensors
+    scorer: str = "rule"           # "rule" | "mlp" (trained numpy MLP)
+    decoder: str = "span"          # "span" (D1 pointer pairing) | "crf" (M3 Viterbi)
     # canonicalization
     shingle_k: int = 3
     minhash_rows: int = 16         # signature length

@@ -49,17 +49,36 @@ def with_doc_id(corpus: DataFrame) -> DataFrame:
     )
 
 
+def _resolve_scorer(cfg: PipelineConfig):
+    """cfg.scorer -> scorer object for the fused stage (None = the default
+    rule scorer). The MLP trains/loads ONCE on the driver; its numpy
+    weights ship to executors via closure broadcast (operators/neural.py
+    scale notes)."""
+    if cfg.scorer == "mlp":
+        from theta_spark.operators.neural import default_mlp_scorer
+
+        return default_mlp_scorer()
+    if cfg.scorer not in (None, "rule"):
+        raise ValueError(f"unknown cfg.scorer {cfg.scorer!r} (expected 'rule' or 'mlp')")
+    return None
+
+
 def extract_mentions_df(corpus: DataFrame, cfg: PipelineConfig | None = None) -> DataFrame:
     """corpus -> deduped document-level mentions with category names + norms.
 
     Default path fuses segmentation+score+decode+dedup per doc in one
     narrow mapInPandas stage (zero shuffles before triple assembly); set
     cfg.fuse_doc_stage=False for the relational segment-level path (for
-    unbounded-size documents where per-doc processing could skew)."""
+    unbounded-size documents where per-doc processing could skew).
+    cfg.scorer/cfg.decoder select the model head (M1 rule/MLP) and decode
+    (D1 span / M3 CRF-Viterbi) run inside the same stage."""
     cfg = cfg or PipelineConfig()
     docs = with_doc_id(corpus)
     if cfg.fuse_doc_stage:
-        mentions = extract_doc_mentions_df(docs, cfg.seg_len, cfg.seg_stride, cfg.confidence)
+        mentions = extract_doc_mentions_df(
+            docs, cfg.seg_len, cfg.seg_stride, cfg.confidence,
+            scorer=_resolve_scorer(cfg), decoder=cfg.decoder,
+        )
     else:
         segs = segment(docs, "text", cfg.seg_len, cfg.seg_stride)
         raw = score_and_decode(segs, cfg.confidence)
@@ -74,7 +93,8 @@ def extract_triples(corpus: DataFrame, cfg: PipelineConfig | None = None) -> Dat
     cfg = cfg or PipelineConfig()
     if cfg.fuse_doc_stage:
         return extract_doc_triples_df(
-            with_doc_id(corpus), cfg.seg_len, cfg.seg_stride, cfg.confidence
+            with_doc_id(corpus), cfg.seg_len, cfg.seg_stride, cfg.confidence,
+            scorer=_resolve_scorer(cfg), decoder=cfg.decoder,
         )
     return assemble_triples(extract_mentions_df(corpus, cfg))
 
