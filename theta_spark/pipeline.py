@@ -185,15 +185,66 @@ def run_checkpointed(
         writer = writer.partitionBy(*partition_cols)
     writer.parquet(path)
     out = spark.read.parquet(path)
+    # per-partition lineage + metrics (north rule): one row per output
+    # file with its row count and an order-insensitive content fingerprint
+    # (sum of bounded xxhash64 over all columns — bounded so the bigint
+    # sum cannot overflow under ANSI mode). The `_lineage` prefix keeps
+    # the table invisible to the stage's own parquet scans; a resumed run
+    # can re-aggregate it to audit that the snapshot it is trusting still
+    # fingerprints the same, per partition, without recomputing the stage.
+    lineage = out.groupBy(F.input_file_name().alias("file")).agg(
+        F.count(F.lit(1)).alias("rows_out"),
+        F.sum(F.pmod(F.xxhash64(*[F.col(c) for c in out.columns]), F.lit(1_000_003))).alias(
+            "fingerprint"
+        ),
+    )
+    lineage.write.mode("overwrite").parquet(os.path.join(path, "_lineage"))
+    totals = (
+        spark.read.parquet(os.path.join(path, "_lineage"))
+        .agg(F.sum("rows_out").alias("n"), F.count(F.lit(1)).alias("files"))
+        .collect()[0]
+    )
     manifest = {
         "stage": stage,
-        "rows_out": out.count(),
+        "rows_out": int(totals["n"] or 0),
+        "n_files": int(totals["files"]),
         "wall_ms": int((time.time() - t0) * 1000),
         "schema": out.schema.simpleString(),
     }
     with open(_manifest_path(workdir, stage), "w") as f:
         json.dump(manifest, f)
     return out
+
+
+def stage_lineage(spark: SparkSession, workdir: str, stage: str) -> DataFrame:
+    """The stage's per-partition lineage table (file, rows_out, fingerprint)."""
+    return spark.read.parquet(os.path.join(workdir, stage, "_lineage"))
+
+
+def audit_stage(spark: SparkSession, workdir: str, stage: str) -> DataFrame:
+    """Re-fingerprint the stage snapshot per file and diff against the
+    recorded lineage; returns the mismatched/missing files (empty = the
+    snapshot a resume would trust is byte-equivalent, per partition, to
+    what the original run wrote). One narrow scan + tiny join — cheap
+    relative to recomputing the stage."""
+    path = os.path.join(workdir, stage)
+    out = spark.read.parquet(path)
+    fresh = out.groupBy(F.input_file_name().alias("file")).agg(
+        F.count(F.lit(1)).alias("rows_now"),
+        F.sum(F.pmod(F.xxhash64(*[F.col(c) for c in out.columns]), F.lit(1_000_003))).alias(
+            "fp_now"
+        ),
+    )
+    rec = stage_lineage(spark, workdir, stage)
+    return (
+        rec.join(fresh, on="file", how="full_outer")
+        .where(
+            F.col("rows_out").isNull()
+            | F.col("rows_now").isNull()
+            | (F.col("rows_out") != F.col("rows_now"))
+            | (F.col("fingerprint") != F.col("fp_now"))
+        )
+    )
 
 
 def run_pipeline(spark: SparkSession, corpus: DataFrame, workdir: str, cfg: PipelineConfig | None = None, resume: bool = True):
