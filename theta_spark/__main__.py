@@ -35,7 +35,10 @@ def build_parser() -> argparse.ArgumentParser:
     src.add_argument("--synthetic", type=int, metavar="N_DOCS", help="synthesize a deterministic N-doc corpus instead (smoke/bench)")
     p.add_argument("--workdir", required=True, help="stage snapshot root (parquet + per-stage manifests)")
     p.add_argument("--resume", action="store_true", help="reuse completed stage snapshots found in --workdir")
-    p.add_argument("--scorer", choices=["rule", "mlp"], default="rule")
+    p.add_argument(
+        "--scorer", default="rule",
+        help="'rule', 'mlp', or a path to .npz weights saved by sources.registry.save_model (checkpoint inference)",
+    )
     p.add_argument("--decoder", choices=["span", "crf"], default="span")
     p.add_argument("--confidence", type=float, default=0.0)
     p.add_argument("--seed", type=int, default=42, help="synthetic corpus seed")

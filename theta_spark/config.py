@@ -32,7 +32,8 @@ class PipelineConfig:
     # seg_texts -> (start_probs, end_probs, offsets) contract and run
     # through the identical fused mapInPandas stage; both decoders walk
     # the same prob tensors
-    scorer: str = "rule"           # "rule" | "mlp" (trained numpy MLP)
+    scorer: str = "rule"           # "rule" | "mlp" | path to .npz weights
+                                   # (checkpoint inference via sources.registry)
     decoder: str = "span"          # "span" (D1 pointer pairing) | "crf" (M3 Viterbi)
     # canonicalization
     shingle_k: int = 3

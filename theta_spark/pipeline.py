@@ -51,15 +51,23 @@ def with_doc_id(corpus: DataFrame) -> DataFrame:
 
 def _resolve_scorer(cfg: PipelineConfig):
     """cfg.scorer -> scorer object for the fused stage (None = the default
-    rule scorer). The MLP trains/loads ONCE on the driver; its numpy
-    weights ship to executors via closure broadcast (operators/neural.py
-    scale notes)."""
+    rule scorer). 'mlp' trains/loads the driver-side singleton; a path
+    ending in .npz loads a checkpointed model from the registry store —
+    the reference's predict_by_checkpoint entry point (SURVEY §3.2). The
+    resolved numpy weights ship to executors via closure broadcast
+    (operators/neural.py scale notes)."""
     if cfg.scorer == "mlp":
         from theta_spark.operators.neural import default_mlp_scorer
 
         return default_mlp_scorer()
+    if isinstance(cfg.scorer, str) and cfg.scorer.endswith(".npz"):
+        from theta_spark.sources.registry import load_model
+
+        return load_model(cfg.scorer)
     if cfg.scorer not in (None, "rule"):
-        raise ValueError(f"unknown cfg.scorer {cfg.scorer!r} (expected 'rule' or 'mlp')")
+        raise ValueError(
+            f"unknown cfg.scorer {cfg.scorer!r} (expected 'rule', 'mlp', or a .npz checkpoint path)"
+        )
     return None
 
 
