@@ -1,0 +1,309 @@
+"""X6 data augmentation (reference: theta/utils/augment.py) as
+deterministic DataFrame transformations.
+
+Reference semantics re-expressed Spark-first:
+
+- token-level del / swap / repl (`Augmenter.augment`, augment.py:90-148):
+  the reference samples a position with `random`; here every "random"
+  draw is an md5 hash of (doc_id, draw tag, seed) so the same row always
+  augments the same way on any executor AND the DuckDB oracle can replay
+  the draw bit-for-bit. `token_del` keeps sequence length by splicing in
+  `[PAD]` (augment.py:96-104 pads to the deleted token's bert_length; the
+  whitespace analog is one PAD).
+- the token index (`Augmenter.__init__`, augment.py:17-28: per-token
+  document_freq loaded from a prebuilt JSON) becomes a distributed
+  aggregation over the corpus itself — `vocab_index` — so there is no
+  driver-side index file to build or ship.
+- frequency-weighted sampling (`np.random.choice(..., p=span_freqs)`,
+  augment.py:76-79) becomes an interval lookup on the cumulative-
+  frequency table: candidate c owns [lo_c, hi_c) of [0, 1), the row's
+  uniform draw u picks the owner. The lookup is a BUCKETED EQUI-JOIN
+  (candidates exploded onto the fixed-width buckets their interval
+  overlaps, rows joined on floor(u*B)) — a hash join on a broadcastable
+  index, NOT an O(rows x vocab) nested-loop range join, so the plan
+  survives a 100x corpus. Degenerate case: one candidate interval can
+  span many buckets, but the explode is bounded by B + |vocab|.
+- span-level 'span_freq' replacement (`Augmenter.augment`,
+  augment.py:56-88): replace one mention per doc with a same-category
+  span drawn by document frequency, then rewrite the text and SHIFT the
+  offsets of every later mention — the tagged-example (tokens, labels)
+  rewrite of augment.py:85-88 done on (text, char-offset mentions).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+PAD = "[PAD]"
+N_BUCKETS = 1024
+
+
+def _h32(*cols) -> "F.Column":
+    """Deterministic 32-bit draw: first 8 md5 hex chars of the
+    concatenated inputs as a bigint in [0, 2^32). The DuckDB twin is
+    ('0x' || substr(md5(s), 1, 8))::BIGINT."""
+    return F.conv(F.substring(F.md5(F.concat_ws("", *cols)), 1, 8), 16, 10).cast("long")
+
+
+def _pos(id_col, tag: str, seed: int, n) -> "F.Column":
+    """1-based deterministic position in [1, n]."""
+    return (F.lit(1) + F.pmod(_h32(F.col(id_col), F.lit(f"#{tag}#{seed}")), n)).cast("int")
+
+
+def vocab_index(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """The reference's token index (augment.py:17-28) built distributed:
+    whitespace token -> document frequency -> cumulative [lo, hi) share
+    of [0, 1). The cum-window runs on ONE partition by design — the vocab
+    is the aggregated small side (heavy-hitter tokens), never the corpus.
+    -> (token, lo, hi) ordered by token."""
+    vocab = (
+        docs.select(F.explode(F.array_distinct(F.split(F.col(text_col), " "))).alias("token"))
+        .where(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count("*").alias("dfreq"))
+    )
+    w = Window.orderBy("token")
+    total = Window.partitionBy()
+    return vocab.select(
+        "token",
+        (
+            F.coalesce(F.sum("dfreq").over(w.rowsBetween(Window.unboundedPreceding, -1)), F.lit(0))
+            / F.sum("dfreq").over(total)
+        ).alias("lo"),
+        (F.sum("dfreq").over(w.rowsBetween(Window.unboundedPreceding, 0)) / F.sum("dfreq").over(total)).alias("hi"),
+    )
+
+
+def bucketize_index(cum: DataFrame, n_buckets: int = N_BUCKETS) -> DataFrame:
+    """Explode each candidate's [lo, hi) interval onto every fixed-width
+    bucket it overlaps, so weighted choice becomes an equi-join on
+    `bucket` instead of a nested-loop u BETWEEN lo AND hi scan."""
+    return cum.select(
+        F.explode(
+            F.sequence(
+                F.floor(F.col("lo") * n_buckets).cast("int"),
+                F.least(
+                    F.ceil(F.col("hi") * n_buckets).cast("int") - 1, F.lit(n_buckets - 1)
+                ),
+            )
+        ).alias("bucket"),
+        "token",
+        "lo",
+        "hi",
+    )
+
+
+def weighted_choice(rows: DataFrame, cum_bucketed: DataFrame, u_col: str, out_col: str, n_buckets: int = N_BUCKETS) -> DataFrame:
+    """Attach the frequency-weighted pick for each row's uniform draw
+    `u_col` in [0, 1): broadcast-hash-join on the draw's bucket, then the
+    interval test selects the single owning candidate."""
+    picked = rows.join(
+        F.broadcast(cum_bucketed),
+        (F.floor(F.col(u_col) * n_buckets).cast("int") == cum_bucketed["bucket"])
+        & (F.col(u_col) >= cum_bucketed["lo"])
+        & (F.col(u_col) < cum_bucketed["hi"]),
+        "left",
+    )
+    return picked.drop("bucket", "lo", "hi").withColumnRenamed("token", out_col)
+
+
+def augment_tokens(
+    docs: DataFrame,
+    ops: tuple = ("del", "swap", "repl"),
+    seed: int = 42,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = N_BUCKETS,
+) -> DataFrame:
+    """Token-level augment_sent (augment.py:151-214 tokenize -> augment
+    -> rejoin; ops at :96-148): one output column per op.
+
+    - del_text:  token at pos1 replaced by [PAD] (del, :96-104)
+    - swap_text: tokens at pos1/pos2 exchanged (swap, :139-143)
+    - repl_text: token at pos1 replaced by a document-frequency-weighted
+      draw from the whole-corpus vocab (repl via sample_token, :105-138;
+      the reference draws from its prebuilt index, here the index is the
+      `vocab_index` aggregation)
+
+    Everything stays in whole-stage codegen (split/sequence/element_at/
+    array_join); the only join is the broadcast bucketed vocab lookup.
+    """
+    t = F.split(F.col(text_col), " ")
+    n = F.size(t)
+    pos1 = _pos(id_col, "p1", seed, n)
+    pos2 = _pos(id_col, "p2", seed, n)
+    out = docs.select(
+        id_col,
+        text_col,
+        t.alias("_t"),
+        n.alias("_n"),
+        pos1.alias("_p1"),
+        pos2.alias("_p2"),
+        (_h32(F.col(id_col), F.lit(f"#u#{seed}")) / F.lit(4294967296.0)).alias("_u"),
+    )
+    idx = F.sequence(F.lit(1), F.col("_n"))
+    if "del" in ops:
+        out = out.withColumn(
+            "del_text",
+            F.array_join(
+                F.transform(
+                    idx,
+                    lambda i: F.when(i == F.col("_p1"), F.lit(PAD)).otherwise(
+                        F.element_at(F.col("_t"), i)
+                    ),
+                ),
+                " ",
+            ),
+        )
+    if "swap" in ops:
+        out = out.withColumn(
+            "swap_text",
+            F.array_join(
+                F.transform(
+                    idx,
+                    lambda i: F.element_at(
+                        F.col("_t"),
+                        F.when(i == F.col("_p1"), F.col("_p2"))
+                        .when(i == F.col("_p2"), F.col("_p1"))
+                        .otherwise(i),
+                    ),
+                ),
+                " ",
+            ),
+        )
+    if "repl" in ops:
+        cum = bucketize_index(vocab_index(docs, text_col), n_buckets)
+        out = weighted_choice(out, cum, "_u", "_repl", n_buckets)
+        out = out.withColumn(
+            "repl_text",
+            F.array_join(
+                F.transform(
+                    idx,
+                    lambda i: F.when(i == F.col("_p1"), F.col("_repl")).otherwise(
+                        F.element_at(F.col("_t"), i)
+                    ),
+                ),
+                " ",
+            ),
+        ).drop("_repl")
+    return out.drop("_t", "_n", "_p1", "_p2", "_u")
+
+
+def span_freq_index(mentions: DataFrame) -> DataFrame:
+    """Per-category span document-frequency index (augment.py:20-28:
+    all_spans + span_freqs normalized per span type) -> (category, mention,
+    lo, hi) with [lo, hi) the span's share of [0, 1) WITHIN its category."""
+    spans = mentions.groupBy("category", "mention").agg(
+        F.countDistinct("doc_id").alias("dfreq")
+    )
+    w = Window.partitionBy("category").orderBy("mention")
+    total = Window.partitionBy("category")
+    return spans.select(
+        "category",
+        "mention",
+        (
+            F.coalesce(F.sum("dfreq").over(w.rowsBetween(Window.unboundedPreceding, -1)), F.lit(0))
+            / F.sum("dfreq").over(total)
+        ).alias("lo"),
+        (F.sum("dfreq").over(w.rowsBetween(Window.unboundedPreceding, 0)) / F.sum("dfreq").over(total)).alias("hi"),
+    )
+
+
+def augment_span_freq(
+    docs: DataFrame,
+    mentions: DataFrame,
+    seed: int = 42,
+    id_col: str = "doc_id",
+    text_col: str = "content",
+) -> tuple:
+    """Span-level 'span_freq' (augment.py:56-88): per doc, replace ONE
+    deterministic target mention with a same-category span drawn by
+    document frequency, splice the text, and shift every later mention's
+    char offset by the length delta (the (tokens, labels) rewrite of
+    augment.py:85-88 done on char offsets).
+
+    mentions: (doc_id, category, start, mention) with `start` a 0-based
+    char offset into the doc text. Returns (aug_docs, aug_mentions);
+    docs without mentions pass through unchanged (augment.py:58-59
+    returns the example untouched when no span position exists).
+
+    Scale shape: one window per doc to pick the target (shuffle on
+    doc_id, same key as every downstream per-doc stage), the span index
+    broadcast, the splice pure codegen string ops.
+    """
+    pick = Window.partitionBy("doc_id").orderBy(
+        _h32(F.col("doc_id"), F.lit(f"#t#{seed}"), F.col("start"), F.col("category")),
+        "start",
+        "category",
+    )
+    target = (
+        mentions.withColumn("_rn", F.row_number().over(pick))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+        .withColumn("_u", _h32(F.col("doc_id"), F.lit(f"#su#{seed}")) / F.lit(4294967296.0))
+    )
+    # per-category weighted pick: bucket within (category, bucket)
+    cum = span_freq_index(mentions)
+    cumb = cum.select(
+        "category",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("lo") * N_BUCKETS).cast("int"),
+                F.least(F.ceil(F.col("hi") * N_BUCKETS).cast("int") - 1, F.lit(N_BUCKETS - 1)),
+            )
+        ).alias("bucket"),
+        F.col("mention").alias("new_span"),
+        "lo",
+        "hi",
+    )
+    tgt = target.join(
+        F.broadcast(cumb),
+        (target["category"] == cumb["category"])
+        & (F.floor(target["_u"] * N_BUCKETS).cast("int") == cumb["bucket"])
+        & (target["_u"] >= cumb["lo"])
+        & (target["_u"] < cumb["hi"]),
+        "inner",
+    ).select(
+        target["doc_id"],
+        target["category"].alias("old_category"),
+        target["start"].alias("old_start"),
+        F.length(target["mention"]).alias("old_len"),
+        "new_span",
+    )
+    aug_docs = (
+        docs.join(tgt, on=docs[id_col] == tgt["doc_id"], how="left")
+        .select(
+            docs["*"],
+            F.when(
+                tgt["doc_id"].isNull(), F.col(text_col)
+            )
+            .otherwise(
+                F.concat(
+                    F.substring(F.col(text_col), 1, F.col("old_start")),
+                    F.col("new_span"),
+                    F.expr(f"substring({text_col}, old_start + old_len + 1)"),
+                )
+            )
+            .alias("aug_text"),
+        )
+    )
+    delta = F.length("new_span") - F.col("old_len")
+    aug_mentions = (
+        mentions.join(tgt, on="doc_id", how="left")
+        .select(
+            "doc_id",
+            "category",
+            F.when(F.col("old_start").isNull() | (F.col("start") <= F.col("old_start")), F.col("start"))
+            .otherwise(F.col("start") + delta)
+            .cast("int")
+            .alias("start"),
+            F.when(
+                (F.col("start") == F.col("old_start")) & (F.col("category") == F.col("old_category")),
+                F.col("new_span"),
+            )
+            .otherwise(F.col("mention"))
+            .alias("mention"),
+        )
+    )
+    return aug_docs, aug_mentions

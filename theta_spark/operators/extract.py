@@ -121,18 +121,44 @@ MRC_SCHEMA = (
 )
 
 
-def mrc_extract(docs_df: DataFrame, predicates: DataFrame, seg_len: int = 126, seg_stride: int = 63) -> DataFrame:
+class _BoundCond:
+    """Adapter binding a predicate to a CondMLPScorer so it satisfies the
+    plain scorer contract score_text(text, visible_start) the shared
+    segment loop expects."""
+
+    def __init__(self, cond_scorer, cond_key: str):
+        self._s, self._k = cond_scorer, cond_key
+
+    def score_text(self, text: str, visible_start: bool = True):
+        return self._s.score_text_cond(text, self._k, visible_start)
+
+
+def mrc_extract(
+    docs_df: DataFrame,
+    predicates: DataFrame,
+    seg_len: int = 126,
+    seg_stride: int = 63,
+    cond_scorer=None,
+) -> DataFrame:
     """M5 MRC-style per-predicate conditioned extraction (reference:
     theta/nlp/tasks/ner_models.py:306-443, ConditionalLayerNorm at
     theta/modules/modules.py:95-136; join shape per SURVEY.md §2.12 —
     crossJoin with the broadcast predicate dim).
 
     `predicates` is a small dim (predicate, subj_category, obj_category).
-    Each (doc x predicate) pair is scored by the same batched stage, with
-    the predicate conditioning which span roles are tagged — here the
-    deterministic stand-in filters the shared span scorer's output to the
-    conditioned categories (a real MRC head would condition the encoder);
-    output rows are (doc, predicate, role in {subject, object}, span)."""
+    Each (doc x predicate) pair is scored by the same batched stage, the
+    predicate conditioning the extraction two ways:
+
+    - default (cond_scorer=None): the deterministic stand-in scores each
+      doc once and the predicate filters which span roles survive —
+      decode-level conditioning, oracle-reproducible;
+    - cond_scorer=CondMLPScorer (operators.neural): the predicate
+      conditions the ENCODER itself — hidden states pass through
+      ConditionalLayerNorm keyed by the predicate before the pointer
+      heads, the reference's actual MRC mechanism — so each (doc,
+      predicate) pair is scored with predicate-specific representations.
+
+    Output rows are (doc, predicate, role in {subject, object}, span)."""
     from theta_spark.reference_impl import extract_doc_mentions
 
     paired = docs_df.select("doc_id", "text").crossJoin(F.broadcast(predicates))
@@ -150,7 +176,14 @@ def mrc_extract(docs_df: DataFrame, predicates: DataFrame, seg_len: int = 126, s
             for doc_id, text, pred, subj_cat, obj_cat in zip(
                 pdf["doc_id"], pdf["text"], pdf["predicate"], pdf["subj_category"], pdf["obj_category"]
             ):
-                if doc_id != last_doc_id:  # score once per doc, condition per predicate
+                if cond_scorer is not None:
+                    # encoder conditioned on the predicate: every (doc,
+                    # predicate) pair gets its own forward pass (no cross-
+                    # pair cache possible — representations differ by pred)
+                    last_mentions = extract_doc_mentions(
+                        text, seg_len, seg_stride, 0.0, scorer=_BoundCond(cond_scorer, pred)
+                    )
+                elif doc_id != last_doc_id:  # score once per doc, condition per predicate
                     last_doc_id = doc_id
                     last_mentions = extract_doc_mentions(text, seg_len, seg_stride, 0.0)
                 for m in last_mentions:

@@ -238,3 +238,66 @@ def token_label_agreement(scorer: MLPScorer, n_docs: int = 40, seed: int = 900):
         ok_e += int((ep.argmax(-1) == el).sum())
         tot += len(sl)
     return ok_s / tot, ok_e / tot
+
+
+class ConditionalLayerNorm:
+    """M5's encoder conditioning (reference theta/modules/modules.py:95-136,
+    used by the MRC span head at ner_models.py:325-331): layer norm whose
+    gain/bias are affine in a condition vector —
+        weight = cond @ Wg + 1,  bias = cond @ Wb + 0,
+        out = (x - mean) / sqrt(var + eps) * weight + bias.
+    The reference zero-inits the two dense maps so conditioning is inert
+    at step 0 (modules.py:109-117 reset_weight_and_bias) — `inert()`
+    reproduces that state; numpy throughout."""
+
+    def __init__(self, Wg: np.ndarray, Wb: np.ndarray, eps: float = 1e-12):
+        self.Wg, self.Wb, self.eps = Wg, Wb, eps
+
+    @classmethod
+    def inert(cls, cond_dim: int, hidden: int = HIDDEN) -> "ConditionalLayerNorm":
+        return cls(np.zeros((cond_dim, hidden)), np.zeros((cond_dim, hidden)))
+
+    @classmethod
+    def seeded(cls, cond_dim: int, hidden: int = HIDDEN, seed: int = 13, scale: float = 0.3) -> "ConditionalLayerNorm":
+        rng = np.random.default_rng(seed)
+        return cls(
+            (rng.standard_normal((cond_dim, hidden)) * scale),
+            (rng.standard_normal((cond_dim, hidden)) * scale),
+        )
+
+    def __call__(self, x: np.ndarray, cond: np.ndarray) -> np.ndarray:
+        weight = cond @ self.Wg + 1.0
+        bias = cond @ self.Wb
+        mean = x.mean(axis=-1, keepdims=True)
+        out = x - mean
+        std = np.sqrt((out**2).mean(axis=-1, keepdims=True) + self.eps)
+        return out / std * weight + bias
+
+
+def cond_embedding(key: str, dim: int = 16) -> np.ndarray:
+    """Deterministic condition embedding for a predicate name (the
+    reference embeds the query/predicate tokens through the encoder; the
+    sandbox stand-in hashes the name into a fixed vector)."""
+    h = hashlib.md5(f"cond#{key}".encode()).digest()
+    raw = np.frombuffer((h * ((dim * 4) // len(h) + 1))[: dim * 4], dtype=np.uint32)
+    return (raw.astype(np.float64) / 2**32) * 2.0 - 1.0
+
+
+class CondMLPScorer:
+    """M5 conditioned encoder: MLPScorer hidden states pass through
+    ConditionalLayerNorm keyed by the predicate BEFORE the pointer heads
+    (ner_models.py:306-443 MRC span model shape) — the predicate changes
+    the ENCODER's representation, not just which decoded spans survive."""
+
+    def __init__(self, base: MLPScorer, cln: ConditionalLayerNorm, cond_dim: int = 16):
+        self.base, self.cln, self.cond_dim = base, cln, cond_dim
+
+    def score_text_cond(self, text: str, cond_key: str, visible_start: bool = True):
+        ids, starts, ends = featurize(text, visible_start)
+        if len(ids) == 0:
+            z = np.zeros((0, NUM_LABELS))
+            return z, z, starts, ends
+        b = self.base
+        h = np.maximum(b.W1[ids].sum(axis=1) + b.b1, 0.0)
+        h = self.cln(h, cond_embedding(cond_key, self.cond_dim))
+        return _softmax(h @ b.Ws + b.bs), _softmax(h @ b.We + b.be), starts, ends

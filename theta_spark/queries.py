@@ -1171,3 +1171,59 @@ def dd_cluster_resolve(spark, sf_dir):
         comp.select(F.col("name").alias("doc_id"), F.col("component").alias("keeper"))
         .orderBy("doc_id")
     )
+
+
+# ------------------------------------------------------------------- X6
+@query(
+    "x6_token_augment",
+    r"""
+    WITH base AS (
+      SELECT doc_id, text,
+             string_split(text, ' ') AS t,
+             len(string_split(text, ' ')) AS n,
+             CAST(1 + (('0x' || substr(md5(doc_id || '#p1#42'), 1, 8))::BIGINT
+                       % len(string_split(text, ' '))) AS INT) AS p1,
+             CAST(1 + (('0x' || substr(md5(doc_id || '#p2#42'), 1, 8))::BIGINT
+                       % len(string_split(text, ' '))) AS INT) AS p2,
+             ('0x' || substr(md5(doc_id || '#u#42'), 1, 8))::BIGINT / 4294967296.0 AS u
+      FROM documents
+    ), vocab AS (
+      SELECT token, COUNT(*) AS dfreq
+      FROM (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
+      WHERE token <> '' GROUP BY token
+    ), cum AS (
+      SELECT token,
+             COALESCE(SUM(dfreq) OVER (ORDER BY token
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               / SUM(dfreq) OVER () AS lo,
+             SUM(dfreq) OVER (ORDER BY token
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               / SUM(dfreq) OVER () AS hi
+      FROM vocab
+    )
+    SELECT b.doc_id,
+           array_to_string(list_transform(range(1, n + 1),
+             i -> CASE WHEN i = p1 THEN '[PAD]' ELSE t[i] END), ' ') AS del_text,
+           array_to_string(list_transform(range(1, n + 1),
+             i -> t[CASE WHEN i = p1 THEN p2 WHEN i = p2 THEN p1 ELSE i END]), ' ') AS swap_text,
+           array_to_string(list_transform(range(1, n + 1),
+             i -> CASE WHEN i = p1 THEN c.token ELSE t[i] END), ' ') AS repl_text
+    FROM base b JOIN cum c ON b.u >= c.lo AND b.u < c.hi
+    ORDER BY doc_id
+    """,
+)
+def x6_token_augment(spark, sf_dir):
+    """X6 token-level augmentation (reference theta/utils/augment.py:96-148
+    del/swap/repl) with md5-replayable draws: del splices [PAD], swap
+    exchanges two positions, repl draws a replacement from the corpus-wide
+    document-frequency vocab via the bucketed cumulative-interval join
+    (the np.random.choice(p=freqs) analog, augment.py:76-79). The oracle
+    rebuilds all three splices and the weighted draw in SQL."""
+    from theta_spark.operators.augment import augment_tokens
+
+    d = _load(spark, sf_dir, "documents").select("doc_id", "text")
+    return (
+        augment_tokens(d, ops=("del", "swap", "repl"), seed=42)
+        .select("doc_id", "del_text", "swap_text", "repl_text")
+        .orderBy("doc_id")
+    )
