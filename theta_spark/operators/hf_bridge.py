@@ -1,0 +1,81 @@
+"""T1/T2: HuggingFace-tokenizer bridge onto the engine's offset contract.
+
+The reference tokenizes with `tokenizer.batch_encode_plus(batch_texts,
+..., return_offsets_mapping=True)` and feeds `offset_mapping` to its
+span decode (theta/nlp/tasks/task_ner.py:86-101); the engine's scorers
+consume the same contract as `tokenize_with_offsets(text) -> (tokens,
+starts, ends)` with exclusive ends (operators/scoring.py:43-51).
+
+`transformers` is not installed in this sandbox, so the bridge is
+import-gated: `load_hf_tokenizer(name)` raises a clear error without the
+package, while `HFTokenizerAdapter` accepts ANY object exposing the HF
+fast-tokenizer call shape — `tok(texts, return_offsets_mapping=True,
+add_special_tokens=..., truncation=..., max_length=...) -> mapping with
+.input_ids / .offset_mapping` — and maps it onto the engine contract:
+
+- special tokens ([CLS]/[SEP]/pad) arrive as (0, 0) offset pairs and are
+  dropped, exactly what the reference's decode does by skipping
+  zero-width offsets (task_ner.py:594-607 walks offset_mapping and a
+  (0,0) token can never bound a span);
+- HF offset ends are already exclusive — no shift needed;
+- batching: `tokenize_batch` keeps the reference's one-call-per-Arrow-
+  batch shape so a real fast tokenizer amortizes its Rust call overhead
+  across the batch (the 10-100x batched-vs-per-row win the reference
+  comments rely on).
+
+A scorer built on this adapter plugs into the same fused mapInPandas
+stage as RuleScorer/MLPScorer — the adapter is the missing piece between
+the HF API and the `score_text` contract, tested against a fake with the
+exact HF call signature (tests/test_hf_bridge.py).
+"""
+
+from __future__ import annotations
+
+
+def load_hf_tokenizer(name: str):
+    """AutoTokenizer.from_pretrained, import-gated (transformers is not in
+    the sandbox image; on a cluster, ship it via --py-files/conda env)."""
+    try:
+        from transformers import AutoTokenizer  # type: ignore
+    except ImportError as e:  # pragma: no cover - sandbox has no transformers
+        raise ImportError(
+            "transformers is not installed; pass any tokenizer with the HF "
+            "fast-tokenizer call shape to HFTokenizerAdapter instead"
+        ) from e
+    return AutoTokenizer.from_pretrained(name, use_fast=True)  # pragma: no cover
+
+
+class HFTokenizerAdapter:
+    """Wrap an HF(-shaped) fast tokenizer into the engine's
+    tokenize_with_offsets contract."""
+
+    def __init__(self, tokenizer, max_length: int = 512, add_special_tokens: bool = True):
+        self._tok = tokenizer
+        self.max_length = max_length
+        self.add_special_tokens = add_special_tokens
+
+    def tokenize_batch(self, texts: list) -> list:
+        """[(tokens, starts, ends), ...] — one tokenizer call per batch
+        (the reference's batch_encode_plus shape, task_ner.py:86-93)."""
+        enc = self._tok(
+            list(texts),
+            return_offsets_mapping=True,
+            add_special_tokens=self.add_special_tokens,
+            truncation=True,
+            max_length=self.max_length,
+        )
+        out = []
+        for text, offsets in zip(texts, enc["offset_mapping"]):
+            tokens, starts, ends = [], [], []
+            for (s, e) in offsets:
+                if e <= s:  # special/pad tokens surface as (0, 0): drop
+                    continue
+                tokens.append(text[s:e])
+                starts.append(s)
+                ends.append(e)
+            out.append((tokens, starts, ends))
+        return out
+
+    def tokenize_with_offsets(self, text: str):
+        """Single-text contract (operators/scoring.py:43-51)."""
+        return self.tokenize_batch([text])[0]

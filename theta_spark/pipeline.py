@@ -210,7 +210,7 @@ def run_checkpointed(
     totals = (
         spark.read.parquet(os.path.join(path, "_lineage"))
         .agg(F.sum("rows_out").alias("n"), F.count(F.lit(1)).alias("files"))
-        .collect()[0]
+        .first()
     )
     manifest = {
         "stage": stage,

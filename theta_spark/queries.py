@@ -1227,3 +1227,43 @@ def x6_token_augment(spark, sf_dir):
         .select("doc_id", "del_text", "swap_text", "repl_text")
         .orderBy("doc_id")
     )
+
+
+# ------------------------------------------------------------------- EMB
+@query(
+    "emb_hashed_ngram",
+    r"""
+    WITH sh AS (
+      SELECT doc_id,
+             list_transform(range(1, greatest(len(lower(text)) - 2, 1) + 1),
+                            i -> substr(lower(text), i, 3)) AS g
+      FROM documents
+    ), raw AS (
+      SELECT doc_id,
+             list_transform(range(0, 16), j ->
+               list_sum(list_transform(g, s ->
+                 ('0x' || substr(md5(j::VARCHAR || '|' || s), 1, 8))::BIGINT
+                   / 4294967296.0 - 0.5))) AS e
+      FROM sh
+    ), nrm AS (
+      SELECT doc_id, e, sqrt(list_sum(list_transform(e, x -> x * x))) AS n FROM raw
+    )
+    SELECT doc_id, CAST(j AS INT) AS j,
+           ROUND(CASE WHEN n > 0 THEN e[j + 1] / n ELSE 0.0 END, 6) AS val
+    FROM nrm, range(0, 16) t(j)
+    ORDER BY doc_id, j
+    """,
+)
+def emb_hashed_ngram(spark, sf_dir):
+    """documents -> embeddings: the deterministic hashed-3-gram unit-vector
+    embedder (functions/embedding.py) — the same narrow stage a real
+    encoder UDF drops into; exploded to (doc_id, j, val) scalars so the
+    driver hash is engine-agnostic. The oracle rebuilds every hash term."""
+    from theta_spark.functions.embedding import embed_docs
+
+    d = _load(spark, sf_dir, "documents").select("doc_id", "text")
+    return (
+        embed_docs(d, dim=16, k=3)
+        .select("doc_id", F.posexplode("embedding").alias("j", "val"))
+        .orderBy("doc_id", "j")
+    )
