@@ -1,8 +1,13 @@
 """Entity canonicalization: MinHash-LSH blocking + connected components
 (north rule). Small-name-set semantics tests; scale behavior is bench.py's
-concern."""
+concern. CC tests run BOTH physical paths: the single-task union-find
+finisher (local_threshold high) and the alternating large-star/small-star
+rounds (local_threshold=0 forces the distributed path)."""
 
+import pytest
 from pyspark.sql import functions as F
+
+BOTH_CC_PATHS = pytest.mark.parametrize("cc_thresh", [2_000_000, 0], ids=["local-uf", "star-rounds"])
 
 from theta_spark.canonicalize import (
     canonicalize_names,
@@ -54,13 +59,15 @@ def test_jaccard_filter_exact(spark):
     assert len(out) == 1 and abs(out[0].jaccard - 0.5) < 1e-9
 
 
-def test_connected_components_chain_and_star(spark):
+@BOTH_CC_PATHS
+def test_connected_components_chain_and_star(spark, cc_thresh):
     # path a-b-c-d plus star e-{f,g}; isolated h
     edges = spark.createDataFrame(
         [("a", "b"), ("b", "c"), ("c", "d"), ("e", "f"), ("e", "g")], "a string, b string"
     )
     nodes = _names_df(spark, list("abcdefgh"))
-    comp = {r.name: r.component for r in connected_components(edges, nodes, "name").collect()}
+    comp = {r.name: r.component for r in connected_components(
+        edges, nodes, "name", local_threshold=cc_thresh).collect()}
     assert comp == {
         "a": "a", "b": "a", "c": "a", "d": "a",
         "e": "e", "f": "e", "g": "e", "h": "h",
@@ -100,7 +107,8 @@ def _uf_components(edges, nodes):
     return {n: comp_min[r] for n, r in roots.items()}
 
 
-def test_connected_components_random_graphs_match_union_find(spark):
+@BOTH_CC_PATHS
+def test_connected_components_random_graphs_match_union_find(spark, cc_thresh):
     """Alternating large-star/small-star vs a plain union-find oracle on
     random graphs — including long chains (worst case for label
     propagation, O(log n) rounds here) and a hot star node."""
@@ -121,15 +129,17 @@ def test_connected_components_random_graphs_match_union_find(spark):
         ndf = spark.createDataFrame([(n,) for n in all_nodes], "name string")
         got = {
             r.name: r.component
-            for r in connected_components(edf, ndf, "name").collect()
+            for r in connected_components(edf, ndf, "name", local_threshold=cc_thresh).collect()
         }
         assert got == expected
 
 
-def test_connected_components_self_loops_and_duplicates(spark):
+@BOTH_CC_PATHS
+def test_connected_components_self_loops_and_duplicates(spark, cc_thresh):
     edges = spark.createDataFrame(
         [("x", "x"), ("x", "y"), ("y", "x"), ("z", "z")], "a string, b string"
     )
-    got = {r.name: r.component for r in connected_components(edges).collect()}
+    got = {r.name: r.component for r in connected_components(
+        edges, local_threshold=cc_thresh).collect()}
     # self-loop-only endpoint z keeps identity; x/y collapse to x
     assert got == {"x": "x", "y": "x", "z": "z"}

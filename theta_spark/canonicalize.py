@@ -308,19 +308,84 @@ def _small_star(e: DataFrame) -> DataFrame:
     return pairs.union(self_pairs).distinct()
 
 
-def connected_components(edges: DataFrame, nodes: DataFrame | None = None, name_col: str = "name", max_iters: int = 20) -> DataFrame:
+def _local_cc(e: DataFrame) -> DataFrame:
+    """Single-task union-find finisher for SMALL verified edge sets:
+    (a,b) -> (name, component=min reachable name) in ONE narrow Arrow
+    stage — no rounds, no shuffles, no per-round driver actions.
+
+    Why it exists: each large-star/small-star round costs two window
+    shuffles plus one convergence action, a fixed overhead that does not
+    shrink with more cores; when the surviving near-dup edge set is a few
+    thousand-to-million rows (the common case — LSH blocking + exact
+    verify leave only true near-duplicate pairs, orders of magnitude
+    fewer than names), those fixed costs dominate the whole graph phase.
+    Union-by-min-label + path compression is near-linear and one task
+    holding the edge endpoints in a dict is far cheaper than O(log n)
+    distributed rounds. Deterministic: the final root of every component
+    is its global min name regardless of edge order. Label type follows
+    the edge endpoint type (names are strings; doc-level dedup passes
+    numeric ids)."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    dt = e.schema["a"].dataType
+    schema = T.StructType(
+        [T.StructField("name", dt), T.StructField("component", dt)]
+    )
+
+    def uf(batches):
+        parent: dict = {}
+
+        def find(x):
+            root = x
+            while parent.get(root, root) != root:
+                root = parent[root]
+            while parent.get(x, x) != x:
+                parent[x], x = root, parent[x]
+            return root
+
+        for pdf in batches:
+            for a, b in zip(pdf["a"], pdf["b"]):
+                parent.setdefault(a, a)
+                parent.setdefault(b, b)
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    if rb < ra:
+                        ra, rb = rb, ra
+                    parent[rb] = ra
+        rows = [(x, find(x)) for x in parent]
+        yield pd.DataFrame(rows, columns=["name", "component"])
+
+    return e.coalesce(1).mapInPandas(uf, schema)
+
+
+def connected_components(
+    edges: DataFrame,
+    nodes: DataFrame | None = None,
+    name_col: str = "name",
+    max_iters: int = 20,
+    local_threshold: int = 2_000_000,
+) -> DataFrame:
     """(a,b) undirected edges [+ optional (name) isolated nodes] ->
     (name, component) where component = min name reachable.
 
-    Alternating large-star/small-star (SURVEY.md §4.2): converges in
-    O(log n) rounds vs O(component diameter) for naive min-label
-    propagation — a transitive near-duplicate chain of length k needs
-    ~log k rounds instead of k. Each round is two window-min passes (one
-    shuffle each, no joins); the only action per round is one tiny
-    fingerprint aggregate (count + hash sum) used as the convergence
-    check, so the driver round-trips are O(log n) cheap aggregates instead
-    of O(diameter) join-compare-count pipelines. Lineage is cut via
-    localCheckpoint once per round; AQE coalesces the tiny shuffles.
+    Size-adaptive: the verified edge set is counted once (the count also
+    materializes its checkpoint); at or below `local_threshold` edges the
+    whole problem fits one task and a single-stage union-find finisher
+    (`_local_cc`) replaces the iteration — the standard contract-then-
+    finish-local CC hybrid. Above it, alternating large-star/small-star
+    (SURVEY.md §4.2): converges in O(log n) rounds vs O(component
+    diameter) for naive min-label propagation — a transitive
+    near-duplicate chain of length k needs ~log k rounds instead of k.
+    Each round is two window-min passes (one shuffle each, no joins); the
+    only action per round is one tiny fingerprint aggregate (count + hash
+    sum) used as the convergence check, so the driver round-trips are
+    O(log n) cheap aggregates instead of O(diameter) join-compare-count
+    pipelines. Lineage is cut via localCheckpoint once per round; AQE
+    coalesces the tiny shuffles. At 10^12-file scale the star rounds
+    carry arbitrarily large near-dup graphs; `local_threshold` is sized
+    so the finisher's single task stays well inside one executor's memory
+    (~2M short-string edges ~ a few hundred MB of dict).
 
     Only edge endpoints can ever change label, so when `nodes` is given its
     edge-free members are unioned in as identity rows without entering the
@@ -346,31 +411,37 @@ def connected_components(edges: DataFrame, nodes: DataFrame | None = None, name_
         .localCheckpoint(eager=False)
     )
 
-    def fingerprint(df: DataFrame):
-        row = df.agg(
-            F.count(F.lit(1)).alias("n"),
-            F.sum(F.pmod(F.xxhash64("a", "b"), F.lit(1_000_003))).alias("h"),
-        ).collect()[0]
-        return (row["n"], row["h"])
+    # one count action: decides the path AND materializes the lazy
+    # checkpoint (the star path's first round would have paid this anyway)
+    n_edges = e.count()
+    if n_edges <= local_threshold:
+        labels = _local_cc(e)
+    else:
+        def fingerprint(df: DataFrame):
+            row = df.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.pmod(F.xxhash64("a", "b"), F.lit(1_000_003))).alias("h"),
+            ).collect()[0]
+            return (row["n"], row["h"])
 
-    prev = None
-    for _ in range(max_iters):
-        # lazy checkpoint: the fingerprint aggregate is the round's ONE
-        # action and materializes the checkpoint as a side effect — one
-        # driver round-trip per round instead of two (eager + fingerprint)
-        e = _small_star(_large_star(e)).localCheckpoint(eager=False)
-        fp = fingerprint(e)
-        if fp == prev:
-            break
-        prev = fp
-    # converged: every edge points directly at its component root (a > b =
-    # root); roots never appear on the left. groupBy-min (not distinct)
-    # stays deterministic even if max_iters cut convergence short.
-    labels = e.select(F.col("a").alias("name"), F.col("b").alias("component"))
-    roots = e.select(F.col("b").alias("name")).distinct().select(
-        "name", F.col("name").alias("component")
-    )
-    labels = labels.union(roots).groupBy("name").agg(F.min("component").alias("component"))
+        prev = None
+        for _ in range(max_iters):
+            # lazy checkpoint: the fingerprint aggregate is the round's ONE
+            # action and materializes the checkpoint as a side effect — one
+            # driver round-trip per round instead of two (eager + fingerprint)
+            e = _small_star(_large_star(e)).localCheckpoint(eager=False)
+            fp = fingerprint(e)
+            if fp == prev:
+                break
+            prev = fp
+        # converged: every edge points directly at its component root (a > b =
+        # root); roots never appear on the left. groupBy-min (not distinct)
+        # stays deterministic even if max_iters cut convergence short.
+        labels = e.select(F.col("a").alias("name"), F.col("b").alias("component"))
+        roots = e.select(F.col("b").alias("name")).distinct().select(
+            "name", F.col("name").alias("component")
+        )
+        labels = labels.union(roots).groupBy("name").agg(F.min("component").alias("component"))
     # isolated endpoints (self-loop-only inputs) keep identity labels
     covered = labels.select("name")
     isolated_endpoints = endpoints.join(covered, on="name", how="left_anti")
@@ -392,6 +463,7 @@ def canonicalize_names(
     threshold: float = 0.9,
     max_iters: int = 20,
     max_bucket: int = 64,
+    cc_local_threshold: int = 2_000_000,
 ) -> DataFrame:
     """(name) distinct -> (name, canonical). Names in the same near-duplicate
     component share the lexicographically smallest member as canonical.
@@ -451,5 +523,8 @@ def canonicalize_names(
     edges = jaccard_inline(pairs, k, threshold).localCheckpoint(eager=True)
     # CC over edge members only; names with no near-duplicate are identity
     # and are NOT returned — callers coalesce(canonical, name)
-    comp = connected_components(edges, nodes=None, name_col="name", max_iters=max_iters)
+    comp = connected_components(
+        edges, nodes=None, name_col="name", max_iters=max_iters,
+        local_threshold=cc_local_threshold,
+    )
     return comp.withColumnRenamed("component", "canonical")
