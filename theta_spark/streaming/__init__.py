@@ -10,11 +10,19 @@ For pipelines that *arrive* as streams (e.g. a commit firehose feeding the
 corpus table), the batch stages compose unchanged under foreachBatch: each
 micro-batch is a corpus DataFrame, and `attach_stream` appends mentions +
 triples to the same snapshot layout `run_pipeline` resumes from.
+
+Native streaming operators (watermarked windowed aggregation and
+applyInPandasWithState sessionization) live in `streaming.stateful`.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
+
+from theta_spark.streaming.stateful import (  # noqa: F401 - re-export
+    sessionize_stream,
+    windowed_event_counts,
+)
 
 from theta_spark.config import PipelineConfig
 from theta_spark.operators.triples import assemble_triples
