@@ -18,7 +18,10 @@ is exact-key only — SURVEY.md §2.7); built Spark-first here:
      prefilter before the exact verify;
 3. exact Jaccard verify computed INLINE from the two name strings
    (array_intersect/array_union of their shingle arrays) on the distinct
-   candidate stream; the verified edge set is checkpointed eagerly;
+   candidate stream; the verified edge set is checkpointed (lazily —
+   the CC edge-count action materializes the whole candidate DAG in one
+   job; the intermediate checkpoints dedup compute via the RDD cache
+   without paying a serialized driver action each);
 4. connected components by alternating large-star/small-star over the
    (tiny) surviving edge set, one fingerprint action per round;
 5. canonical id = min name in each component; identity names omitted.
@@ -141,13 +144,15 @@ def lsh_candidate_pairs(
     ).withColumn("bucket", F.hash("band_id", F.col("band").cast("string")))
     w = Window.partitionBy("band_id", "bucket").orderBy(F.xxhash64("name"), "name")
     carry = ["band_id", "bucket", "name"] + (["sig"] if min_agree is not None else [])
-    # materialized for the same both-sides-of-the-self-join reason as in
-    # deletion_candidate_pairs
+    # checkpointed for the same both-sides-of-the-self-join reason as in
+    # deletion_candidate_pairs; LAZY so it materializes inside the edges
+    # job instead of as its own serialized blocking action (the RDD cache
+    # still computes it once and shares it across both join sides)
     capped = (
         banded.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") <= max_bucket)
         .select(*carry)
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     left = capped.withColumnRenamed("name", "a").withColumnRenamed("sig", "sig_a")
     right = capped.withColumnRenamed("name", "b").withColumnRenamed("sig", "sig_b")
@@ -224,10 +229,12 @@ def deletion_candidate_pairs(
             )
         ).alias("kind_pos", "key"),
     ).withColumn("kind", F.least(F.col("kind_pos"), F.lit(1))).drop("kind_pos")
-    # materialize before the agg + join: both consumers scan the same
+    # checkpoint before the agg + join: both consumers scan the same
     # checkpointed table instead of re-executing the key-explode lineage
-    # (the table is ~(n_shingles+1) longs per name — small)
-    keyed = keyed.localCheckpoint(eager=True)
+    # (the table is ~(n_shingles+1) longs per name — small). LAZY: it
+    # materializes within the first consuming job rather than as its own
+    # serialized driver action
+    keyed = keyed.localCheckpoint(eager=False)
     reps = (
         keyed.filter(F.col("kind") == 0)
         .groupBy("key")
@@ -500,12 +507,20 @@ def canonicalize_names(
     # local[2] to local[8]). AQE does not re-coalesce a user-specified
     # repartition, so the candidate compute fans out across the cluster
     # while the shuffles stay tiny.
+    # LAZY checkpoint: the whole candidate DAG (short + long branches) is
+    # one union materialized by the edge-count action inside
+    # connected_components, so the names table computes exactly once
+    # within that job and is cached for every later consumer — without
+    # spending a serialized blocking action per checkpoint here (profiled:
+    # the graph phase's flat ~25s tail at high parallelism was mostly
+    # these fixed-cost driver round-trips, the very thing that caps the
+    # N->4N efficiency).
     par = names.sparkSession.sparkContext.defaultParallelism
     names = (
         names.select(F.col(name_col).alias("name"))
         .distinct()
         .repartition(par)
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     n_sh = F.size(F.array_distinct(shingle_array(F.col("name"), k)))
     max_short = max(2, math.ceil((1 + threshold) / (1 - threshold)) - 1) if threshold < 1 else 64
@@ -520,7 +535,7 @@ def canonicalize_names(
     min_agree = math.ceil(max(0.0, threshold - 0.25) * num_hashes)
     pairs_long = lsh_candidate_pairs(sig, "name", bands, max_bucket, min_agree=min_agree)
     pairs = pairs_short.union(pairs_long).distinct()
-    edges = jaccard_inline(pairs, k, threshold).localCheckpoint(eager=True)
+    edges = jaccard_inline(pairs, k, threshold).localCheckpoint(eager=False)
     # CC over edge members only; names with no near-duplicate are identity
     # and are NOT returned — callers coalesce(canonical, name)
     comp = connected_components(

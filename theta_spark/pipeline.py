@@ -206,12 +206,14 @@ def run_checkpointed(
             "fingerprint"
         ),
     )
+    # lazy checkpoint: the _lineage write materializes it; the totals agg
+    # then reuses the (few-row) checkpointed table instead of re-reading
+    # the parquet it just wrote
+    lineage = lineage.localCheckpoint(eager=False)
     lineage.write.mode("overwrite").parquet(os.path.join(path, "_lineage"))
-    totals = (
-        spark.read.parquet(os.path.join(path, "_lineage"))
-        .agg(F.sum("rows_out").alias("n"), F.count(F.lit(1)).alias("files"))
-        .first()
-    )
+    totals = lineage.agg(
+        F.sum("rows_out").alias("n"), F.count(F.lit(1)).alias("files")
+    ).first()
     manifest = {
         "stage": stage,
         "rows_out": int(totals["n"] or 0),
@@ -278,12 +280,21 @@ def run_pipeline(spark: SparkSession, corpus: DataFrame, workdir: str, cfg: Pipe
         nodes_edges["edges"] = e
         return n
 
-    nodes = run_checkpointed(spark, workdir, "nodes", _build_nodes, resume=resume)
+    # nodes partitioned by category, edges by predicate (north rule:
+    # partitioned node/edge tables — Iceberg partition spec on a cluster,
+    # hive-style parquet dirs in the sandbox fallback): both are
+    # low-cardinality columns every downstream graph query filters on, so
+    # the scan prunes whole directories
+    nodes = run_checkpointed(
+        spark, workdir, "nodes", _build_nodes, partition_cols=["category"], resume=resume
+    )
 
     def _build_edges():
         if "edges" not in nodes_edges:
             nodes_edges["edges"] = build_nodes_edges(triples, mentions, cfg)[1]
         return nodes_edges["edges"]
 
-    edges = run_checkpointed(spark, workdir, "edges", _build_edges, resume=resume)
+    edges = run_checkpointed(
+        spark, workdir, "edges", _build_edges, partition_cols=["pred"], resume=resume
+    )
     return {"mentions": mentions, "triples": triples, "nodes": nodes, "edges": edges}
