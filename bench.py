@@ -197,7 +197,17 @@ def run_bench(
         "w1_segments",
         "g2_dedup_docs",
         "d1_asof_pairing",
+        "dd_ngram_jaccard",
+        "sim_ivf_topk",
     ]
+    # one UNTIMED pass first: the first execution of each plan shape in a
+    # session pays whole-stage-codegen compilation + JVM JIT (profiled: a
+    # ~2s steady-state window query read 14-32s cold), which would be
+    # misattributed to whichever query runs it first. The timed pass below
+    # therefore reports steady-state per-query cost (the quantity that
+    # scales with data on a long-lived cluster session).
+    for name in headline:
+        q.QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
     for name in headline:
         fn = q.QUERIES[name]
         t0 = time.time()

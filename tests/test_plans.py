@@ -81,3 +81,20 @@ def test_multiprobe_corpus_never_shuffles(spark):
     # per-query rank window; none keyed on the corpus row id
     assert "Exchange hashpartitioning(vec_id" not in phys
     assert "Exchange hashpartitioning(neighbor_id" not in phys
+
+
+def test_partitioned_edges_prune_on_pred(spark, corpus50, tmp_path):
+    """run_pipeline writes edges partitioned by pred (nodes by category);
+    a predicate filter must prune whole partition directories at the scan
+    (PartitionFilters), not read-then-filter."""
+    from theta_spark.pipeline import run_pipeline
+
+    stages = run_pipeline(spark, corpus50, str(tmp_path / "wd"), PipelineConfig(), resume=False)
+    assert stages["edges"].count() > 0
+    edges = spark.read.parquet(str(tmp_path / "wd" / "edges"))
+    q = edges.filter(F.col("pred") == "calls")
+    p = plan_of(q)
+    pf = [l for l in p.splitlines() if "PartitionFilters" in l]
+    assert pf and "pred" in pf[0], p
+    got = {r.pred for r in q.select("pred").distinct().collect()}
+    assert got == {"calls"}
