@@ -25,15 +25,36 @@ from theta_spark.canonicalize import jaccard_filter, lsh_candidate_pairs, minhas
 
 
 def word_shingles(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> DataFrame:
-    """(id, text) -> (id, shingle) distinct word-k-gram strings."""
-    toks = F.filter(F.split(F.trim(F.lower(F.col(text_col))), r"\s+"), lambda t: t != "")
-    grams = F.transform(
-        F.sequence(F.lit(0), F.greatest(F.size(toks) - k, F.lit(0))),
-        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)),
+    """(id, text) -> (id, shingle) distinct word-k-gram strings.
+
+    Arrow-batched (mapInPandas) rather than column expressions: the
+    per-position `transform`/`slice`/`concat_ws` lambdas evaluate in
+    Spark's interpreted HOF path (profiled ~9s for 5000 docs vs <1s
+    here); the Python walk stays narrow, no shuffle. Shingle content is
+    pinned by the DuckDB oracle: lowercase, trim, split on \\s+, drop
+    empties, k-gram join by single space, distinct per doc."""
+    import re
+
+    id_field = df.schema[id_col]
+
+    def gen(batches):
+        ws = re.compile(r"\s+")
+        for pdf in batches:
+            ids, shingles = [], []
+            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+                toks = [t for t in ws.split((text or "").strip().lower()) if t]
+                n = max(len(toks) - k, 0)
+                grams = {" ".join(toks[i : i + k]) for i in range(n + 1)}
+                ids.extend([doc_id] * len(grams))
+                shingles.extend(grams)
+            yield pd.DataFrame({"name": ids, "shingle": shingles})
+
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [T.StructField("name", id_field.dataType), T.StructField("shingle", T.StringType())]
     )
-    return df.select(
-        F.col(id_col).alias("name"), F.explode(F.array_distinct(grams)).alias("shingle")
-    )
+    return df.select(id_col, text_col).mapInPandas(gen, schema)
 
 
 def ngram_jaccard_pairs(
@@ -48,7 +69,10 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """Near-duplicate document pairs (a, b, jaccard) with word-k-gram
     Jaccard >= threshold, found via MinHash-LSH blocking."""
-    sh = word_shingles(df, id_col, text_col, k)
+    # lazy checkpoint: the shingle table feeds the signature agg AND three
+    # scans inside the verify (sizes, both join sides) — without the cut it
+    # re-runs the split/transform/explode over the corpus once per consumer
+    sh = word_shingles(df, id_col, text_col, k).localCheckpoint(eager=False)
     sig = minhash_signatures(sh, "name", num_hashes)
     # lsh_candidate_pairs emits distinct pairs (required: a pair surfacing
     # in several bands would otherwise multiply its intersection counts in
