@@ -36,14 +36,10 @@ def _stage_wall(workdir: str, stage: str) -> float:
         return _json.load(f)["wall_ms"] / 1000.0
 
 
-def _proc_stat():
-    """(busy, steal, total) host jiffies — see bench_scaling._proc_stat."""
-    with open("/proc/stat") as f:
-        parts = f.readline().split()
-    vals = [int(x) for x in parts[1:]]
-    user, nice, system, idle, iowait, irq, softirq, steal = (vals + [0] * 8)[:8]
-    busy = user + nice + system + irq + softirq
-    return busy, steal, busy + steal + idle + iowait
+# single canonical /proc/stat parser (both bench scripts live in the repo
+# root and run from the same checkout; one implementation keeps the
+# cross-referenced telemetry in BENCH.md consistent)
+from bench_scaling import _proc_stat  # noqa: E402
 
 
 def _sf_of(sf_dir: str) -> float:

@@ -85,3 +85,24 @@ def test_per_partition_lineage_and_audit(spark, tmp_path):
     os.remove(victim)
     bad = audit_stage(spark, wd, "s1").collect()
     assert len(bad) >= 1
+
+
+def test_empty_corpus_pipeline_and_resume(spark, tmp_path):
+    """A corpus yielding zero mentions must produce empty (but readable)
+    stage snapshots — including the PARTITIONED nodes/edges stages, whose
+    zero-row write emits no parquet data files (schema comes from the
+    manifest) — and resume cleanly."""
+    from theta_spark.config import PipelineConfig
+    from theta_spark.corpus import CORPUS_SCHEMA
+    from theta_spark.pipeline import run_pipeline
+
+    rows = [("r", "a.py", "c1", "python", "   \n\n  "), ("r", "b.py", "c2", "python", "#")]
+    corpus = spark.createDataFrame(rows, CORPUS_SCHEMA)
+    wd = str(tmp_path / "wd")
+    stages = run_pipeline(spark, corpus, wd, PipelineConfig(), resume=False)
+    assert {k: v.count() for k, v in stages.items()} == {
+        "mentions": 0, "triples": 0, "nodes": 0, "edges": 0,
+    }
+    resumed = run_pipeline(spark, corpus, wd, PipelineConfig(), resume=True)
+    assert resumed["edges"].count() == 0
+    assert set(resumed["edges"].columns) == {"subj", "pred", "obj", "n_docs"}

@@ -23,8 +23,15 @@ def _events(spark):
         (1, "2024-01-01 02:05:00", 4, "b"),
         (2, "2024-01-01 00:00:00", 5, "a"),
         (2, "2024-01-01 00:20:00", 6, "b"),
+        # user 3: one event in the FIRST micro-batch only — its session can
+        # close only via the event-time timeout, after OTHER users' later
+        # events advance the global watermark past last+gap (regression
+        # guard: a timeout must be registered even when the registering
+        # batch's watermark is still 0)
+        (3, "2024-01-01 00:00:00", 9, "a"),
         # sentinels: far enough ahead that every real session closes by
-        # gap-crossing inside the walk (their own sessions stay open)
+        # gap-crossing inside the walk (their own sessions stay open: the
+        # watermark = global-max-ts - delay can never pass THEIR last+gap)
         (1, "2024-06-01 00:00:00", 7, "z"),
         (2, "2024-06-01 00:00:00", 8, "z"),
     ]
@@ -37,6 +44,9 @@ EXPECTED_SESSIONS = {
     (1, 2, 3),  # 02:00-02:05
     (2, 2, 5),  # 00:00-00:20
 }
+# user 3's lone session closes by timeout in the STREAM run only (batch
+# mode has no watermark; its tail stays open there)
+TIMEOUT_SESSION = (3, 1, 9)
 
 
 def test_sessionize_batch_emits_closed_sessions(spark):
@@ -58,7 +68,7 @@ def test_sessionize_stream_carries_state_across_batches(spark, tmp_path):
     import time
 
     slices = [
-        df.filter("event_id in (1, 2, 5)"),
+        df.filter("event_id in (1, 2, 5, 9)"),
         df.filter("event_id in (3, 6)"),
         df.filter("event_id in (4, 7, 8)"),
     ]
@@ -86,11 +96,12 @@ def test_sessionize_stream_carries_state_across_batches(spark, tmp_path):
         (r.user_id, r.n_events, r.first_event)
         for r in spark.sql("select * from sessions_out").collect()
     }
-    # every gap-closed session must be emitted exactly once; the sentinel
-    # tail sessions may or may not have been timeout-flushed depending on
-    # whether a final empty batch ran — tolerate both
-    assert EXPECTED_SESSIONS <= got
-    assert got - EXPECTED_SESSIONS <= {(1, 1, 7), (2, 1, 8)}
+    # every gap-closed session emitted exactly once; user 3's lone session
+    # MUST have been flushed by the event-time timeout (its timeout was
+    # registered in batch 1 while the watermark was still 0, and fired
+    # after the sentinels advanced the watermark); the sentinels' own tail
+    # sessions stay open (the watermark never passes the global max ts)
+    assert EXPECTED_SESSIONS | {TIMEOUT_SESSION} == got, got
 
 
 def test_timeout_flushes_open_session():

@@ -56,7 +56,7 @@ def main(argv=None) -> int:
     spark = get_spark(app_name="theta-spark-kg", master=args.master)
     cfg = PipelineConfig(confidence=args.confidence, scorer=args.scorer, decoder=args.decoder)
 
-    if args.synthetic:
+    if args.synthetic is not None:
         from theta_spark.corpus import corpus_df
 
         corpus, _ = corpus_df(spark, args.synthetic, seed=args.seed, with_docs=False)

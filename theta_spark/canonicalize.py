@@ -425,11 +425,19 @@ def connected_components(
         labels = _local_cc(e)
     else:
         def fingerprint(df: DataFrame):
+            # convergence check = equality of successive edge-set
+            # fingerprints. TWO independent bounded hash sums (different
+            # seeds and moduli) + the count: a false fixpoint needs a
+            # simultaneous collision of both sums AND the count between
+            # DIFFERENT sets — ~1e-12 per round vs ~1e-6 for one sum.
+            # (pmod bounds each term so the bigint sum cannot overflow
+            # under ANSI mode.)
             row = df.agg(
                 F.count(F.lit(1)).alias("n"),
-                F.sum(F.pmod(F.xxhash64("a", "b"), F.lit(1_000_003))).alias("h"),
+                F.sum(F.pmod(F.xxhash64("a", "b"), F.lit(1_000_003))).alias("h1"),
+                F.sum(F.pmod(F.xxhash64(F.lit(13), "b", "a"), F.lit(999_983))).alias("h2"),
             ).collect()[0]
-            return (row["n"], row["h"])
+            return (row["n"], row["h1"], row["h2"])
 
         prev = None
         for _ in range(max_iters):

@@ -75,11 +75,19 @@ def vocab_index(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def bucketize_index(cum: DataFrame, n_buckets: int = N_BUCKETS) -> DataFrame:
+def bucketize_index(
+    cum: DataFrame,
+    n_buckets: int = N_BUCKETS,
+    token_col: str = "token",
+    key_cols: tuple = (),
+) -> DataFrame:
     """Explode each candidate's [lo, hi) interval onto every fixed-width
     bucket it overlaps, so weighted choice becomes an equi-join on
-    `bucket` instead of a nested-loop u BETWEEN lo AND hi scan."""
+    `bucket` instead of a nested-loop u BETWEEN lo AND hi scan.
+    `key_cols` are carried through for per-key indexes (e.g. the span
+    index's per-category [0,1) shares)."""
     return cum.select(
+        *key_cols,
         F.explode(
             F.sequence(
                 F.floor(F.col("lo") * n_buckets).cast("int"),
@@ -88,24 +96,37 @@ def bucketize_index(cum: DataFrame, n_buckets: int = N_BUCKETS) -> DataFrame:
                 ),
             )
         ).alias("bucket"),
-        "token",
+        token_col,
         "lo",
         "hi",
     )
 
 
-def weighted_choice(rows: DataFrame, cum_bucketed: DataFrame, u_col: str, out_col: str, n_buckets: int = N_BUCKETS) -> DataFrame:
+def weighted_choice(
+    rows: DataFrame,
+    cum_bucketed: DataFrame,
+    u_col: str,
+    out_col: str,
+    n_buckets: int = N_BUCKETS,
+    token_col: str = "token",
+    key_cols: tuple = (),
+    how: str = "left",
+) -> DataFrame:
     """Attach the frequency-weighted pick for each row's uniform draw
-    `u_col` in [0, 1): broadcast-hash-join on the draw's bucket, then the
-    interval test selects the single owning candidate."""
-    picked = rows.join(
-        F.broadcast(cum_bucketed),
-        (F.floor(F.col(u_col) * n_buckets).cast("int") == cum_bucketed["bucket"])
-        & (F.col(u_col) >= cum_bucketed["lo"])
-        & (F.col(u_col) < cum_bucketed["hi"]),
-        "left",
+    `u_col` in [0, 1): broadcast-hash-join on the draw's bucket (plus any
+    `key_cols` equality for per-key indexes), then the interval test
+    selects the single owning candidate."""
+    cond = (
+        (F.floor(rows[u_col] * n_buckets).cast("int") == cum_bucketed["bucket"])
+        & (rows[u_col] >= cum_bucketed["lo"])
+        & (rows[u_col] < cum_bucketed["hi"])
     )
-    return picked.drop("bucket", "lo", "hi").withColumnRenamed("token", out_col)
+    for kc in key_cols:
+        cond = cond & (rows[kc] == cum_bucketed[kc])
+    picked = rows.join(F.broadcast(cum_bucketed), cond, how)
+    for kc in key_cols:
+        picked = picked.drop(cum_bucketed[kc])
+    return picked.drop("bucket", "lo", "hi").withColumnRenamed(token_col, out_col)
 
 
 def augment_tokens(
@@ -243,32 +264,18 @@ def augment_span_freq(
         .drop("_rn")
         .withColumn("_u", _h32(F.col("doc_id"), F.lit(f"#su#{seed}")) / F.lit(4294967296.0))
     )
-    # per-category weighted pick: bucket within (category, bucket)
-    cum = span_freq_index(mentions)
-    cumb = cum.select(
-        "category",
-        F.explode(
-            F.sequence(
-                F.floor(F.col("lo") * N_BUCKETS).cast("int"),
-                F.least(F.ceil(F.col("hi") * N_BUCKETS).cast("int") - 1, F.lit(N_BUCKETS - 1)),
-            )
-        ).alias("bucket"),
-        F.col("mention").alias("new_span"),
-        "lo",
-        "hi",
-    )
-    tgt = target.join(
-        F.broadcast(cumb),
-        (target["category"] == cumb["category"])
-        & (F.floor(target["_u"] * N_BUCKETS).cast("int") == cumb["bucket"])
-        & (target["_u"] >= cumb["lo"])
-        & (target["_u"] < cumb["hi"]),
-        "inner",
+    # per-category weighted pick: the shared bucketed-interval machinery
+    # with category as the index key (bucket within (category, bucket))
+    cum = span_freq_index(mentions).withColumnRenamed("mention", "span")
+    cumb = bucketize_index(cum, token_col="span", key_cols=("category",))
+    tgt = weighted_choice(
+        target, cumb, "_u", "new_span",
+        token_col="span", key_cols=("category",), how="inner",
     ).select(
-        target["doc_id"],
-        target["category"].alias("old_category"),
-        target["start"].alias("old_start"),
-        F.length(target["mention"]).alias("old_len"),
+        "doc_id",
+        F.col("category").alias("old_category"),
+        F.col("start").alias("old_start"),
+        F.length("mention").alias("old_len"),
         "new_span",
     )
     aug_docs = (

@@ -113,8 +113,19 @@ def multilabel_prf(pred: DataFrame, gold: DataFrame, on: str = "id") -> DataFram
     matrix (which at 10^9 docs x 10^3 labels would be the wrong shape)."""
     from pyspark.sql import functions as F
 
-    p = pred.select(F.col(on).alias("id"), F.explode("pred_labels").alias("label")).distinct()
-    g = gold.select(F.col(on).alias("id"), F.explode("gold_labels").alias("label")).distinct()
+    # lazy checkpoints: three count actions consume each side; without the
+    # cut every action re-runs the upstream scoring stage (pred is usually
+    # the Arrow-batched classifier output) from scratch
+    p = (
+        pred.select(F.col(on).alias("id"), F.explode("pred_labels").alias("label"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    g = (
+        gold.select(F.col(on).alias("id"), F.explode("gold_labels").alias("label"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
     tp = p.join(g, on=["id", "label"], how="left_semi").count()
     fp = p.join(g, on=["id", "label"], how="left_anti").count()
     fn = g.join(p, on=["id", "label"], how="left_anti").count()

@@ -185,6 +185,15 @@ def run_checkpointed(
     contract is an Iceberg snapshot + per-bucket manifest (SURVEY.md §4.2)."""
     path = os.path.join(workdir, stage)
     if resume and stage_complete(workdir, stage):
+        with open(_manifest_path(workdir, stage)) as f:
+            manifest = json.load(f)
+        # explicit schema when recorded: an EMPTY partitioned snapshot has
+        # no data files, and a schema-less read would fail schema inference
+        if manifest.get("schema_json"):
+            from pyspark.sql import types as T
+
+            schema = T.StructType.fromJson(json.loads(manifest["schema_json"]))
+            return spark.read.schema(schema).parquet(path)
         return spark.read.parquet(path)
     t0 = time.time()
     df = build()
@@ -192,7 +201,10 @@ def run_checkpointed(
     if partition_cols:
         writer = writer.partitionBy(*partition_cols)
     writer.parquet(path)
-    out = spark.read.parquet(path)
+    # read back with the build schema (same reason as above: a zero-row
+    # partitioned write emits only _SUCCESS; partition values are parsed
+    # into their column from the directory names)
+    out = spark.read.schema(df.schema).parquet(path)
     # per-partition lineage + metrics (north rule): one row per output
     # file with its row count and an order-insensitive content fingerprint
     # (sum of bounded xxhash64 over all columns — bounded so the bigint
@@ -220,6 +232,7 @@ def run_checkpointed(
         "n_files": int(totals["files"]),
         "wall_ms": int((time.time() - t0) * 1000),
         "schema": out.schema.simpleString(),
+        "schema_json": json.dumps(out.schema.jsonValue()),
     }
     with open(_manifest_path(workdir, stage), "w") as f:
         json.dump(manifest, f)

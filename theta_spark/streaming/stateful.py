@@ -96,9 +96,15 @@ def _session_walk(key, pdfs, state, gap: int) -> Iterator[pd.DataFrame]:
             last = ts_s
             n += 1
     state.update((start, last, n, first_event))
-    if state.getCurrentWatermarkMs() > 0:
-        # flush the open session once the watermark passes gap beyond it
-        state.setTimeoutTimestamp((last + gap + 1) * 1000)
+    # flush the open session once the watermark passes gap beyond its last
+    # event. Registered UNCONDITIONALLY (not only when the watermark is
+    # already nonzero): during the FIRST micro-batch the watermark is still
+    # 0, and a timeout never registered never fires — a user whose events
+    # all arrive in that batch would otherwise keep an open tail forever.
+    # The timestamp always exceeds the current watermark (required by
+    # EventTimeTimeout) because rows below the watermark are dropped before
+    # this operator, so last >= watermark here.
+    state.setTimeoutTimestamp((last + gap + 1) * 1000)
     if out:
         yield pd.DataFrame(out, columns=cols)
 
@@ -164,8 +170,5 @@ class _BatchState:
     def remove(self):  # pragma: no cover - never hit without timeouts
         pass
 
-    def getCurrentWatermarkMs(self):
-        return 0
-
-    def setTimeoutTimestamp(self, ms):  # pragma: no cover
+    def setTimeoutTimestamp(self, ms):
         pass
