@@ -106,3 +106,7 @@ def test_empty_corpus_pipeline_and_resume(spark, tmp_path):
     resumed = run_pipeline(spark, corpus, wd, PipelineConfig(), resume=True)
     assert resumed["edges"].count() == 0
     assert set(resumed["edges"].columns) == {"subj", "pred", "obj", "n_docs"}
+    # lineage audit works on the empty partitioned snapshot too
+    from theta_spark.pipeline import audit_stage
+
+    assert audit_stage(spark, wd, "edges").count() == 0

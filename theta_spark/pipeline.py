@@ -185,16 +185,7 @@ def run_checkpointed(
     contract is an Iceberg snapshot + per-bucket manifest (SURVEY.md §4.2)."""
     path = os.path.join(workdir, stage)
     if resume and stage_complete(workdir, stage):
-        with open(_manifest_path(workdir, stage)) as f:
-            manifest = json.load(f)
-        # explicit schema when recorded: an EMPTY partitioned snapshot has
-        # no data files, and a schema-less read would fail schema inference
-        if manifest.get("schema_json"):
-            from pyspark.sql import types as T
-
-            schema = T.StructType.fromJson(json.loads(manifest["schema_json"]))
-            return spark.read.schema(schema).parquet(path)
-        return spark.read.parquet(path)
+        return read_stage(spark, workdir, stage)
     t0 = time.time()
     df = build()
     writer = df.write.mode("overwrite")
@@ -239,6 +230,23 @@ def run_checkpointed(
     return out
 
 
+def read_stage(spark: SparkSession, workdir: str, stage: str) -> DataFrame:
+    """Read a stage snapshot, applying the manifest-recorded schema when
+    available: an EMPTY partitioned snapshot has no parquet data files, so
+    a schema-less read would fail inference."""
+    path = os.path.join(workdir, stage)
+    manifest = {}
+    if stage_complete(workdir, stage):
+        with open(_manifest_path(workdir, stage)) as f:
+            manifest = json.load(f)
+    if manifest.get("schema_json"):
+        from pyspark.sql import types as T
+
+        schema = T.StructType.fromJson(json.loads(manifest["schema_json"]))
+        return spark.read.schema(schema).parquet(path)
+    return spark.read.parquet(path)
+
+
 def stage_lineage(spark: SparkSession, workdir: str, stage: str) -> DataFrame:
     """The stage's per-partition lineage table (file, rows_out, fingerprint)."""
     return spark.read.parquet(os.path.join(workdir, stage, "_lineage"))
@@ -250,8 +258,7 @@ def audit_stage(spark: SparkSession, workdir: str, stage: str) -> DataFrame:
     snapshot a resume would trust is byte-equivalent, per partition, to
     what the original run wrote). One narrow scan + tiny join — cheap
     relative to recomputing the stage."""
-    path = os.path.join(workdir, stage)
-    out = spark.read.parquet(path)
+    out = read_stage(spark, workdir, stage)
     fresh = out.groupBy(F.input_file_name().alias("file")).agg(
         F.count(F.lit(1)).alias("rows_now"),
         F.sum(F.pmod(F.xxhash64(*[F.col(c) for c in out.columns]), F.lit(1_000_003))).alias(
