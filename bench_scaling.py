@@ -283,6 +283,15 @@ adds threads on one already-busy die. The engine tracks the control
 bound, i.e. the plan itself has no scaling bottleneck at 32 threads.
 """
 
+    # preserve any hand-curated "### B-extended" evidence block (appended
+    # by repeated rerun_partb.py sessions) across regenerations
+    b_ext = ""
+    if os.path.exists("BENCH.md"):
+        cur = open("BENCH.md").read()
+        if "### B-extended" in cur:
+            tail = cur.split("### B-extended", 1)[1]
+            b_ext = "### B-extended" + tail.split("\n## ", 1)[0].rstrip() + "\n"
+
     with open("BENCH.md", "w") as f:
         f.write(f"""# BENCH — engine throughput + scaling evidence
 
@@ -331,7 +340,8 @@ large-star/small-star (O(log n) rounds, one fingerprint action per round):
 (includes parquet stage snapshots on the single shared local disk, which
 does not scale with cores; on a cluster, storage bandwidth scales with
 executors)
-{wide_tbl}
+
+{b_ext}{wide_tbl}
 Full per-level JSON:
 
 ```json
