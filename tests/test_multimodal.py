@@ -28,8 +28,8 @@ def test_media_schema(spark):
     rows = {r.media_id: r for r in m.collect()}
     assert set(rows) == {"d1", "d2"}
     assert rows["d1"].kind in ("image", "audio")
-    # payload = raw sha512 bytes of the text
-    assert bytes(rows["d1"].payload) == hashlib.sha512(b"hello world").digest()
+    # payload = raw sha256 digest bytes of the text
+    assert bytes(rows["d1"].payload) == hashlib.sha256(b"hello world").digest()
 
 
 def test_feature_extraction_deterministic(spark):
@@ -37,18 +37,21 @@ def test_feature_extraction_deterministic(spark):
     f1 = sorted(map(tuple, extract_media_features(m, fake_decode=True).collect()))
     f2 = sorted(map(tuple, extract_media_features(m, fake_decode=True).collect()))
     assert f1 == f2
-    assert all(r[2] == 64 for r in f1)  # sha512 -> 64 bytes
+    assert all(r[2] == 32 for r in f1)  # sha256 -> 32 bytes
 
 
 def test_feature_values_match_numpy(spark):
     m = synth_media_df(spark, _docs(spark))
+    import math
+
     row = {r.media_id: r for r in extract_media_features(m, fake_decode=True).collect()}["d1"]
-    arr = np.frombuffer(hashlib.sha512(b"hello world").digest(), dtype=np.uint8)
-    assert row.n_bytes == 64
-    assert row.byte_mean == round(float(arr.mean()), 4)
-    assert row.byte_std == round(float(arr.std()), 4)
+    arr = np.frombuffer(hashlib.sha256(b"hello world").digest(), dtype=np.uint8)
+    assert row.n_bytes == 32
+    assert row.byte_mean == math.floor(float(arr.mean()) * 10000 + 0.5) / 10000
+    assert row.byte_std == math.floor(float(arr.std()) * 10000 + 0.5) / 10000
     ds = arr.reshape(-1, 8).mean(axis=1).astype(np.uint8)
-    assert row.phash == hashlib.md5(ds.tobytes()).hexdigest()[:16]
+    key = "-".join(str(int(v)) for v in ds)
+    assert row.phash == hashlib.md5(key.encode()).hexdigest()[:16]
 
 
 def test_real_decode_is_gated():

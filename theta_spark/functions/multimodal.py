@@ -34,15 +34,20 @@ FEATURE_SCHEMA = (
 
 
 def synth_media_df(spark, docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """Deterministic fake media table: payload bytes derived from the text's
-    sha512 (repeated), metadata columns typed. Stands in for an Iceberg
-    table with a binary column at scale."""
+    """Deterministic fake media table: payload bytes = sha256(text) digest,
+    metadata columns typed. Stands in for an Iceberg table with a binary
+    column at scale. Every derived value is md5/sha256-based so a DuckDB
+    oracle can rebuild the whole feature table byte-for-byte (the reason
+    sha256, not sha512: DuckDB ships no sha512)."""
     return docs.select(
         F.col(id_col).cast("string").alias("media_id"),
-        (F.when(F.crc32(F.col(text_col).cast("binary")) % 2 == 0, "image").otherwise("audio")).alias("kind"),
+        (
+            F.when(F.conv(F.substring(F.md5(F.col(text_col)), 1, 1), 16, 10).cast("int") % 2 == 0, "image")
+            .otherwise("audio")
+        ).alias("kind"),
         F.lit(32).alias("width"),
         F.lit(32).alias("height"),
-        F.to_binary(F.sha2(F.col(text_col).cast("binary"), 512), F.lit("hex")).alias("payload"),
+        F.to_binary(F.sha2(F.col(text_col).cast("binary"), 256), F.lit("hex")).alias("payload"),
     )
 
 
@@ -61,6 +66,15 @@ def extract_media_features(media: DataFrame, fake_decode: bool = True) -> DataFr
     """media -> per-item features via mapInPandas (one Arrow batch of binary
     payloads in, one small feature frame out)."""
 
+    def _round4(x: float) -> float:
+        # explicit HALF-UP at 4 decimals: byte means over 32 bytes land on
+        # exact 5s at the 5th decimal for half the inputs (odd/32), where
+        # Python's banker's round and SQL ROUND diverge — floor(x*1e4+0.5)
+        # is the same arithmetic the DuckDB oracle runs
+        import math
+
+        return math.floor(x * 10000.0 + 0.5) / 10000.0
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             feats = {k: [] for k in ("media_id", "kind", "n_bytes", "byte_mean", "byte_std", "phash")}
@@ -69,11 +83,14 @@ def extract_media_features(media: DataFrame, fake_decode: bool = True) -> DataFr
                 feats["media_id"].append(mid)
                 feats["kind"].append(kind)
                 feats["n_bytes"].append(len(arr))
-                feats["byte_mean"].append(round(float(arr.mean()), 4) if len(arr) else 0.0)
-                feats["byte_std"].append(round(float(arr.std()), 4) if len(arr) else 0.0)
-                # perceptual-hash stand-in: md5 of the 8x8-downsampled bytes
+                feats["byte_mean"].append(_round4(float(arr.mean())) if len(arr) else 0.0)
+                feats["byte_std"].append(_round4(float(arr.std())) if len(arr) else 0.0)
+                # perceptual-hash stand-in: md5 over the decimal-joined
+                # 8x-downsampled (truncated-mean) bytes — string-keyed so
+                # any engine can recompute it without binary plumbing
                 ds = arr[: (len(arr) // 8) * 8].reshape(-1, 8).mean(axis=1) if len(arr) >= 8 else arr
-                feats["phash"].append(hashlib.md5(ds.astype(np.uint8).tobytes()).hexdigest()[:16])
+                key = "-".join(str(int(v)) for v in ds.astype(np.uint8))
+                feats["phash"].append(hashlib.md5(key.encode()).hexdigest()[:16])
             yield pd.DataFrame(feats)
 
     return media.mapInPandas(run, FEATURE_SCHEMA)

@@ -752,13 +752,41 @@ def dd_cosine_near_dup(spark, sf_dir):
     return cosine_near_dup_pairs(e, threshold=0.35).orderBy("a", "b")
 
 
-# rows-only (no SQL twin): multimodal feature extraction — binary payload
-# decode is not SQL-expressible; plumbing is pytest-covered.
-@query("mm_media_features")
+@query(
+    "mm_media_features",
+    r"""
+    WITH b AS (
+      SELECT doc_id::VARCHAR AS media_id,
+             CASE WHEN ('0x' || substr(md5(text), 1, 1))::INT % 2 = 0
+                  THEN 'image' ELSE 'audio' END AS kind,
+             list_transform(range(0, 32),
+                            i -> ('0x' || substr(sha256(text), i*2 + 1, 2))::INT) AS bytes
+      FROM documents
+    ), m AS (
+      SELECT media_id, kind, bytes, list_sum(bytes) / 32.0 AS mu FROM b
+    ), g AS (
+      SELECT media_id, kind, mu,
+             sqrt(list_sum(list_transform(bytes, x -> (x - mu) * (x - mu))) / 32.0) AS sd,
+             CAST(floor(list_sum(bytes[1:8])  / 8.0) AS INT) AS d0,
+             CAST(floor(list_sum(bytes[9:16]) / 8.0) AS INT) AS d1,
+             CAST(floor(list_sum(bytes[17:24])/ 8.0) AS INT) AS d2,
+             CAST(floor(list_sum(bytes[25:32])/ 8.0) AS INT) AS d3
+      FROM m
+    )
+    SELECT media_id, kind, 32 AS n_bytes,
+           floor(mu * 10000 + 0.5) / 10000.0 AS byte_mean,
+           floor(sd * 10000 + 0.5) / 10000.0 AS byte_std,
+           substr(md5(d0::VARCHAR || '-' || d1::VARCHAR || '-' ||
+                      d2::VARCHAR || '-' || d3::VARCHAR), 1, 16) AS phash
+    FROM g ORDER BY media_id
+    """,
+)
 def mm_media_features(spark, sf_dir):
     """Multimodal plumbing: documents -> synthetic binary media table ->
     Arrow-batched feature extraction (functions.multimodal; decode stubbed
-    deterministically, real decoder drops into _decode_bytes)."""
+    deterministically, real decoder drops into _decode_bytes). The fake
+    features are md5/sha256-derived with explicit half-up rounding, so the
+    oracle rebuilds every byte statistic and the phash stand-in exactly."""
     from theta_spark.functions.multimodal import extract_media_features, synth_media_df
 
     d = _load(spark, sf_dir, "documents")
