@@ -1295,3 +1295,46 @@ def emb_hashed_ngram(spark, sf_dir):
         .select("doc_id", F.posexplode("embedding").alias("j", "val"))
         .orderBy("doc_id", "j")
     )
+
+
+# ------------------------------------------------------------------- ST
+@query(
+    "st_sessionize",
+    r"""
+    WITH f AS (
+      -- floor(): Spark's timestamp->long cast truncates fractional
+      -- seconds while DuckDB's ::BIGINT rounds
+      SELECT user_id, event_id, floor(epoch(ts))::BIGINT AS ts_s,
+             CASE WHEN floor(epoch(ts))::BIGINT
+                       - LAG(floor(epoch(ts))::BIGINT) OVER w > 1800
+                       OR LAG(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), s AS (
+      SELECT user_id, event_id, ts_s,
+             CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts_s, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sid
+      FROM f
+    ), agg AS (
+      SELECT user_id, sid, MIN(ts_s) AS session_start, MAX(ts_s) AS session_end,
+             COUNT(*) AS n_events,
+             first(event_id ORDER BY ts_s, event_id) AS first_event
+      FROM s GROUP BY user_id, sid
+    )
+    SELECT user_id, session_start, session_end, n_events, first_event
+    FROM agg
+    WHERE sid < (SELECT MAX(sid) FROM agg a2 WHERE a2.user_id = agg.user_id)
+    ORDER BY user_id, session_start
+    """,
+)
+def st_sessionize(spark, sf_dir):
+    """Stateful sessionization, batch twin (streaming/stateful.py): the
+    SAME per-user session walk that runs under applyInPandasWithState in
+    a stream runs here through applyInPandas — emitting every CLOSED
+    session (each user's open tail session is withheld, exactly the
+    streaming append semantics before a timeout). The oracle is the
+    gaps-and-islands SQL with each user's last session filtered out."""
+    from theta_spark.streaming.stateful import sessionize_stream
+
+    e = _load(spark, sf_dir, "events").select("user_id", "ts", "event_id")
+    return sessionize_stream(e, gap_sec=1800).orderBy("user_id", "session_start")
