@@ -1338,3 +1338,25 @@ def st_sessionize(spark, sf_dir):
 
     e = _load(spark, sf_dir, "events").select("user_id", "ts", "event_id")
     return sessionize_stream(e, gap_sec=1800).orderBy("user_id", "session_start")
+
+
+@query(
+    "st_window_counts",
+    r"""
+    SELECT (floor(epoch(ts) / 600) * 600)::BIGINT AS window_start,
+           event_type,
+           COUNT(*) AS n_events
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY window_start, event_type
+    """,
+)
+def st_window_counts(spark, sf_dir):
+    """Event-time tumbling-window counts: the batch plan of the streaming
+    `windowed_event_counts` operator (streaming/stateful.py — identical
+    DataFrame code runs under readStream with a watermark). 10-minute
+    windows aligned to the epoch."""
+    from theta_spark.streaming.stateful import windowed_event_counts
+
+    e = _load(spark, sf_dir, "events")
+    return windowed_event_counts(e, "10 minutes").orderBy("window_start", "event_type")
