@@ -34,7 +34,8 @@ class PipelineConfig:
     # the same prob tensors
     scorer: str = "rule"           # "rule" | "mlp" | path to .npz weights
                                    # (checkpoint inference via sources.registry)
-    decoder: str = "span"          # "span" (D1 pointer pairing) | "crf" (M3 Viterbi)
+    decoder: str = "span"          # "span" (D1 pointer pairing) | "crf" (M3
+                                   # Viterbi) | "globalpointer" (span-matrix NMS)
     # canonicalization
     shingle_k: int = 3
     minhash_rows: int = 16         # signature length

@@ -288,6 +288,10 @@ def extract_mentions(text: str, confidence: float = 0.0, visible_start: bool = T
         return []
     if decoder == "crf":
         spans = _crf_spans(sp, ep, confidence)
+    elif decoder == "globalpointer":
+        from theta_spark.operators.globalpointer import decode_global_pointer
+
+        spans = decode_global_pointer(sp, ep, confidence)
     else:
         decoded = decode_ents(sp[None, :, :], ep[None, :, :], [len(starts)], confidence)[0]
         spans = [(cat, s_tok, e_tok) for cat, ss in decoded.items() for (s_tok, e_tok) in ss]
