@@ -98,3 +98,23 @@ def test_brat_roundtrip(spark):
         for r in parse_brat_df(anns).collect()
     }
     assert back == set(rows)
+
+
+def test_brat_escapes_tabs_and_newlines(spark):
+    """A mention containing \\t or \\n must not corrupt the line-based
+    standoff body: export replaces both with a space (what real brat does
+    with newlines), and parse splits only the first two tabs so any
+    embedded tab would still stay inside the mention field."""
+    from theta_spark.sources.io import brat_export_df, parse_brat_df
+
+    mentions = spark.createDataFrame(
+        [("d1", "call", 0, 10, "a\tb\nc def g")],
+        "doc_id string, category string, start int, end int, mention string",
+    )
+    anns = brat_export_df(mentions)
+    body = anns.collect()[0]["ann"]
+    assert body == "T1\tcall 0 11\ta b c def g"  # one line, two structural tabs
+    r = parse_brat_df(anns).collect()[0]
+    assert (r["doc_id"], r["category"], r["start"], r["end"], r["mention"]) == (
+        "d1", "call", 0, 10, "a b c def g",
+    )

@@ -39,7 +39,11 @@ def build_parser() -> argparse.ArgumentParser:
         "--scorer", default="rule",
         help="'rule', 'mlp', or a path to .npz weights saved by sources.registry.save_model (checkpoint inference)",
     )
-    p.add_argument("--decoder", choices=["span", "crf"], default="span")
+    p.add_argument("--decoder", choices=["span", "crf", "globalpointer"], default="span")
+    p.add_argument(
+        "--gp-max-span", type=int, default=64,
+        help="globalpointer decoder only: widest span (in tokens) the banded span matrix scores",
+    )
     p.add_argument("--confidence", type=float, default=0.0)
     p.add_argument("--seed", type=int, default=42, help="synthetic corpus seed")
     p.add_argument("--master", default=None, help="override master (default: spark-submit/env provided)")
@@ -54,7 +58,10 @@ def main(argv=None) -> int:
     from theta_spark.session import get_spark
 
     spark = get_spark(app_name="theta-spark-kg", master=args.master)
-    cfg = PipelineConfig(confidence=args.confidence, scorer=args.scorer, decoder=args.decoder)
+    cfg = PipelineConfig(
+        confidence=args.confidence, scorer=args.scorer, decoder=args.decoder,
+        gp_max_span=args.gp_max_span,
+    )
 
     if args.synthetic is not None:
         from theta_spark.corpus import corpus_df

@@ -36,6 +36,10 @@ class PipelineConfig:
                                    # (checkpoint inference via sources.registry)
     decoder: str = "span"          # "span" (D1 pointer pairing) | "crf" (M3
                                    # Viterbi) | "globalpointer" (span-matrix NMS)
+    gp_max_span: int = 64          # globalpointer only: widest span (tokens)
+                                   # the banded span matrix scores; spans
+                                   # longer than this are not representable
+                                   # by that head (decoder="span" has no cap)
     # canonicalization
     shingle_k: int = 3
     minhash_rows: int = 16         # signature length

@@ -201,9 +201,17 @@ def augment_tokens(
             F.array_join(
                 F.transform(
                     idx,
-                    lambda i: F.when(i == F.col("_p1"), F.col("_repl")).otherwise(
-                        F.element_at(F.col("_t"), i)
-                    ),
+                    # coalesce guards the float-boundary gap case: if a draw
+                    # u falls in a 1-ulp crack between adjacent [lo, hi)
+                    # intervals the left join yields a null pick, and a bare
+                    # _repl would make array_join silently DROP the token —
+                    # keeping the original token instead preserves the token
+                    # count (and the miss stays detectable as repl_text ==
+                    # text, never as a corrupted shorter sentence)
+                    lambda i: F.when(
+                        i == F.col("_p1"),
+                        F.coalesce(F.col("_repl"), F.element_at(F.col("_t"), i)),
+                    ).otherwise(F.element_at(F.col("_t"), i)),
                 ),
                 " ",
             ),

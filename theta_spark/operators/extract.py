@@ -17,7 +17,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from theta_spark.operators.scoring import extract_mentions
+from theta_spark.operators.scoring import extract_mentions, extract_mentions_batch
 
 MENTION_RAW_SCHEMA = (
     "doc_id string, seg_id int, s_seg int, category_id int, "
@@ -30,8 +30,37 @@ MENTION_DOC_SCHEMA = (
 )
 
 
+def _batch_doc_mentions(texts, seg_len: int, seg_stride: int, confidence: float,
+                        scorer, decoder: str, gp_max_span: int):
+    """One Arrow batch of documents -> one mention list per document.
+
+    Segments every doc, then scores ALL segments of the batch in a SINGLE
+    scorer call (scoring.score_texts): a batched model (MLPScorer, or any
+    transformer behind the contract) runs one chunked gather+matmul over
+    the concatenated token matrix instead of one tiny forward per 126-char
+    segment — the reference's DataLoader batching (task_ner.py:86-101,
+    622-664) re-expressed at the Arrow-batch boundary. Decode + un-shift +
+    dedup then walk per doc (shared merge_segment_mentions)."""
+    from theta_spark.reference_impl import merge_segment_mentions, segment_offsets
+
+    segs_per_doc = [segment_offsets(t, seg_len, seg_stride) for t in texts]
+    flat_texts, flat_vis = [], []
+    for segs in segs_per_doc:
+        for off, stext in segs:
+            flat_texts.append(stext)
+            flat_vis.append(off == 0)
+    per_seg = extract_mentions_batch(
+        flat_texts, flat_vis, confidence, scorer=scorer, decoder=decoder, gp_max_span=gp_max_span
+    )
+    out, i = [], 0
+    for segs in segs_per_doc:
+        out.append(merge_segment_mentions(segs, per_seg[i : i + len(segs)]))
+        i += len(segs)
+    return out
+
+
 def extract_doc_mentions_df(docs_df: DataFrame, seg_len: int, seg_stride: int, confidence: float = 0.0,
-                            scorer=None, decoder: str = "span") -> DataFrame:
+                            scorer=None, decoder: str = "span", gp_max_span: int = 64) -> DataFrame:
     """Fused per-document stage: sliding-window segmentation + score +
     decode + un-shift + order-preserving dedup in ONE mapInPandas — the
     reference's per-guid dataflow (task_ner.py:183-233 segmentation,
@@ -53,15 +82,15 @@ def extract_doc_mentions_df(docs_df: DataFrame, seg_len: int, seg_stride: int, c
     model checkpoint) and `decoder` ("span"/"crf") select the model and
     decode walk — see operators.scoring / operators.neural.
     """
-    from theta_spark.reference_impl import extract_doc_mentions
-
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = {k: [] for k in
                    ("doc_id", "sha256", "category_id", "start", "end", "mention", "indent")}
-            for doc_id, sha, text in zip(pdf["doc_id"], pdf["sha256"], pdf["text"]):
-                for m in extract_doc_mentions(text, seg_len, seg_stride, confidence,
-                                              scorer=scorer, decoder=decoder):
+            per_doc = _batch_doc_mentions(
+                list(pdf["text"]), seg_len, seg_stride, confidence, scorer, decoder, gp_max_span
+            )
+            for doc_id, sha, mentions in zip(pdf["doc_id"], pdf["sha256"], per_doc):
+                for m in mentions:
                     out["doc_id"].append(doc_id)
                     out["sha256"].append(sha)
                     out["category_id"].append(m["category_id"])
@@ -78,7 +107,7 @@ TRIPLE_SCHEMA = "subj string, pred string, obj string, doc_id string, sha256 str
 
 
 def extract_doc_triples_df(docs_df: DataFrame, seg_len: int, seg_stride: int, confidence: float = 0.0,
-                           scorer=None, decoder: str = "span") -> DataFrame:
+                           scorer=None, decoder: str = "span", gp_max_span: int = 64) -> DataFrame:
     """Fully-fused per-document triple extraction: segmentation + scoring +
     decode + dedup + triple assembly in ONE narrow mapInPandas — the
     reference's whole per-guid dataflow per Arrow batch, emitting
@@ -96,14 +125,15 @@ def extract_doc_triples_df(docs_df: DataFrame, seg_len: int, seg_stride: int, co
     Carries the per-row sha256(content) invariant (input_hint) end-to-end:
     every emitted triple row keeps its source document's content hash.
     """
-    from theta_spark.reference_impl import assemble_doc_triples, extract_doc_mentions
+    from theta_spark.reference_impl import assemble_doc_triples
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = {k: [] for k in ("subj", "pred", "obj", "doc_id", "sha256")}
-            for doc_id, sha, text in zip(pdf["doc_id"], pdf["sha256"], pdf["text"]):
-                mentions = extract_doc_mentions(text, seg_len, seg_stride, confidence,
-                                                scorer=scorer, decoder=decoder)
+            per_doc = _batch_doc_mentions(
+                list(pdf["text"]), seg_len, seg_stride, confidence, scorer, decoder, gp_max_span
+            )
+            for doc_id, sha, mentions in zip(pdf["doc_id"], pdf["sha256"], per_doc):
                 for (s, p, o, d) in sorted(assemble_doc_triples(mentions, doc_id)):
                     out["subj"].append(s)
                     out["pred"].append(p)

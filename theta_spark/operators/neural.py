@@ -43,8 +43,13 @@ FEATURE_DIM = 1 << 15
 HIDDEN = 64
 
 
+@lru_cache(maxsize=1 << 20)
 def _fh(s: str) -> int:
-    """Stable feature hash (md5 -> [0, FEATURE_DIM))."""
+    """Stable feature hash (md5 -> [0, FEATURE_DIM)). Memoized per process:
+    feature strings are drawn from a Zipfian vocabulary (token identities,
+    boolean templates, short char windows), and the md5 per call was
+    profiled at ~55% of the whole scoring stage — the cache removes ~90%
+    of the calls at a bounded memory cost."""
     return int.from_bytes(hashlib.md5(s.encode()).digest()[:4], "big") % FEATURE_DIM
 
 
@@ -108,6 +113,12 @@ class MLPScorer:
         self.Ws, self.bs = Ws, bs
         self.We, self.be = We, be
 
+    # widest token chunk one forward materializes: the W1 gather is
+    # (chunk, F_templates, HIDDEN) floats, so 8192 tokens * 17 * 64 * 4B
+    # ~= 36 MB transient per task — bounded regardless of Arrow batch size
+    # (an unchunked batch of 10k docs would gather ~5 GB per task)
+    FORWARD_CHUNK = 8192
+
     def _forward(self, ids: np.ndarray):
         h = np.maximum(self.W1[ids].sum(axis=1) + self.b1, 0.0)   # (T, H)
         return _softmax(h @ self.Ws + self.bs), _softmax(h @ self.We + self.be)
@@ -120,6 +131,38 @@ class MLPScorer:
             return z, z, starts, ends
         sp, ep = self._forward(ids)
         return sp, ep, starts, ends
+
+    def score_texts(self, texts, visible_starts):
+        """Batched contract (reference DataLoader-batch shape,
+        task_ner.py:86-101/622-664): featurize every text, concatenate all
+        tokens into one (sum_T, F) id matrix, run ONE chunked gather+matmul
+        forward, split the prob tensors back per text. Identical outputs to
+        per-text score_text (pure function of the same ids) — the batching
+        amortizes numpy dispatch over the whole Arrow batch instead of
+        paying it per 126-char segment."""
+        feats = [featurize(t, v) for t, v in zip(texts, visible_starts)]
+        lens = [len(f[0]) for f in feats]
+        total = sum(lens)
+        if total == 0:
+            z = np.zeros((0, NUM_LABELS))
+            return [(z, z, f[1], f[2]) for f in feats]
+        ids = np.concatenate([f[0] for f in feats if len(f[0])])
+        sp_parts, ep_parts = [], []
+        for lo in range(0, total, self.FORWARD_CHUNK):
+            sp_c, ep_c = self._forward(ids[lo : lo + self.FORWARD_CHUNK])
+            sp_parts.append(sp_c)
+            ep_parts.append(ep_c)
+        sp_all = np.concatenate(sp_parts) if len(sp_parts) > 1 else sp_parts[0]
+        ep_all = np.concatenate(ep_parts) if len(ep_parts) > 1 else ep_parts[0]
+        out, off = [], 0
+        z = np.zeros((0, NUM_LABELS))
+        for (_, starts, ends), n in zip(feats, lens):
+            if n == 0:
+                out.append((z, z, starts, ends))
+            else:
+                out.append((sp_all[off : off + n], ep_all[off : off + n], starts, ends))
+                off += n
+        return out
 
 
 def _training_segments(n_docs: int, seed: int):

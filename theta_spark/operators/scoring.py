@@ -30,6 +30,7 @@ from __future__ import annotations
 
 import hashlib
 import re
+from functools import lru_cache
 
 import numpy as np
 
@@ -51,7 +52,11 @@ def tokenize_with_offsets(text: str):
     return tokens, starts, ends
 
 
+@lru_cache(maxsize=1 << 20)
 def _stable_prob(token: str) -> float:
+    # memoized: tokens repeat heavily across segments (identifier vocab is
+    # Zipfian in any code corpus), and the md5 per call was profiled at
+    # ~30% of the rule scorer's per-token cost. Per-process cache, bounded.
     h = int.from_bytes(hashlib.md5(token.encode()).digest()[:4], "big")
     return 0.55 + 0.40 * (h / 0xFFFFFFFF)
 
@@ -263,7 +268,7 @@ def decode_bioes(tags: list[str]):
 
 
 def extract_mentions(text: str, confidence: float = 0.0, visible_start: bool = True,
-                     scorer=None, decoder: str = "span"):
+                     scorer=None, decoder: str = "span", gp_max_span: int = 64):
     """Full per-segment extraction: tokenize -> score -> decode -> char spans.
 
     Returns list of (category_id, char_start, char_end_inclusive, mention,
@@ -283,7 +288,15 @@ def extract_mentions(text: str, confidence: float = 0.0, visible_start: bool = T
     any disagreement between the two isolates the *distributed plumbing*.
     """
     scorer = scorer or RULE_SCORER
-    sp, ep, starts, ends = scorer.score_text(text, visible_start)
+    scored = scorer.score_text(text, visible_start)
+    return _decode_scored(text, scored, confidence, decoder, gp_max_span)
+
+
+def _decode_scored(text: str, scored, confidence: float, decoder: str, gp_max_span: int):
+    """Decode one segment's scorer output (sp, ep, starts, ends) into the
+    extract_mentions tuple list — the scorer-independent tail, shared by the
+    per-text and batched entry points."""
+    sp, ep, starts, ends = scored
     if len(starts) == 0:
         return []
     if decoder == "crf":
@@ -291,7 +304,7 @@ def extract_mentions(text: str, confidence: float = 0.0, visible_start: bool = T
     elif decoder == "globalpointer":
         from theta_spark.operators.globalpointer import decode_global_pointer
 
-        spans = decode_global_pointer(sp, ep, confidence)
+        spans = decode_global_pointer(sp, ep, confidence, max_span=gp_max_span)
     else:
         decoded = decode_ents(sp[None, :, :], ep[None, :, :], [len(starts)], confidence)[0]
         spans = [(cat, s_tok, e_tok) for cat, ss in decoded.items() for (s_tok, e_tok) in ss]
@@ -303,6 +316,34 @@ def extract_mentions(text: str, confidence: float = 0.0, visible_start: bool = T
         out.append((int(cat), cs, ce, text[cs : ce + 1], indent))
     out.sort(key=lambda x: (x[1], x[0]))
     return out
+
+
+def score_texts(texts, visible_starts, scorer=None):
+    """Batched scorer dispatch: [(sp, ep, starts, ends)] per text in order.
+
+    A scorer exposing `score_texts` (the reference's DataLoader-batch shape,
+    task_ner.py:86-101/622-664: the encoder runs once over the whole batch)
+    gets ONE call for all texts — MLPScorer turns this into a single
+    gather+matmul over the concatenated token matrix. Scorers without it
+    (the rule stand-in: per-token string predicates, nothing to batch) fall
+    back to per-text calls. Same outputs either way."""
+    scorer = scorer or RULE_SCORER
+    batched = getattr(scorer, "score_texts", None)
+    if batched is not None:
+        return batched(texts, visible_starts)
+    return [scorer.score_text(t, v) for t, v in zip(texts, visible_starts)]
+
+
+def extract_mentions_batch(texts, visible_starts, confidence: float = 0.0,
+                           scorer=None, decoder: str = "span", gp_max_span: int = 64):
+    """Batched extract_mentions: one scorer pass over all texts (model
+    batching across the Arrow batch), then the per-segment decode. Returns
+    one extract_mentions-shaped list per input text."""
+    scored = score_texts(texts, visible_starts, scorer)
+    return [
+        _decode_scored(t, s, confidence, decoder, gp_max_span)
+        for t, s in zip(texts, scored)
+    ]
 
 
 def _crf_spans(sp, ep, confidence: float):

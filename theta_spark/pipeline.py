@@ -85,7 +85,7 @@ def extract_mentions_df(corpus: DataFrame, cfg: PipelineConfig | None = None) ->
     if cfg.fuse_doc_stage:
         mentions = extract_doc_mentions_df(
             docs, cfg.seg_len, cfg.seg_stride, cfg.confidence,
-            scorer=_resolve_scorer(cfg), decoder=cfg.decoder,
+            scorer=_resolve_scorer(cfg), decoder=cfg.decoder, gp_max_span=cfg.gp_max_span,
         )
     else:
         segs = segment(docs, "text", cfg.seg_len, cfg.seg_stride)
@@ -102,7 +102,7 @@ def extract_triples(corpus: DataFrame, cfg: PipelineConfig | None = None) -> Dat
     if cfg.fuse_doc_stage:
         return extract_doc_triples_df(
             with_doc_id(corpus), cfg.seg_len, cfg.seg_stride, cfg.confidence,
-            scorer=_resolve_scorer(cfg), decoder=cfg.decoder,
+            scorer=_resolve_scorer(cfg), decoder=cfg.decoder, gp_max_span=cfg.gp_max_span,
         )
     return assemble_triples(extract_mentions_df(corpus, cfg))
 

@@ -19,7 +19,7 @@ Python over the per-doc mention list.
 from __future__ import annotations
 
 from theta_spark.config import ID2LABEL
-from theta_spark.operators.scoring import extract_mentions
+from theta_spark.operators.scoring import extract_mentions_batch
 
 
 def segment_offsets(text: str, seg_len: int, seg_stride: int):
@@ -35,18 +35,30 @@ def segment_offsets(text: str, seg_len: int, seg_stride: int):
 
 
 def extract_doc_mentions(text: str, seg_len: int = 126, seg_stride: int = 63, confidence: float = 0.0,
-                         scorer=None, decoder: str = "span"):
+                         scorer=None, decoder: str = "span", gp_max_span: int = 64):
     """Segment -> score+decode per segment -> un-shift -> order-preserving
     dedup (task_ner.py:1391-1415). Returns list of dicts with doc-global
     char offsets, first-occurrence order preserved. `scorer`/`decoder`
     select the model implementation (RuleScorer/MLPScorer) and the decode
     walk (span pairing / constrained Viterbi) — see operators.scoring."""
+    segs = segment_offsets(text, seg_len, seg_stride)
+    per_seg = extract_mentions_batch(
+        [s for _, s in segs], [off == 0 for off, _ in segs],
+        confidence, scorer=scorer, decoder=decoder, gp_max_span=gp_max_span,
+    )
+    return merge_segment_mentions(segs, per_seg)
+
+
+def merge_segment_mentions(segments, per_seg_mentions):
+    """Un-shift + order-preserving dedup of per-segment mention lists
+    (task_ner.py:1391-1415): `segments` is [(s_seg, seg_text)],
+    `per_seg_mentions` the matching extract_mentions outputs. Shared by the
+    per-doc oracle path and the Spark fused stage (which scores ALL
+    segments of an Arrow batch in one model call and then merges per doc)."""
     seen = set()
     out = []
-    for s_seg, seg_text in segment_offsets(text, seg_len, seg_stride):
-        for cat, cs, ce, mention, indent in extract_mentions(
-            seg_text, confidence, visible_start=(s_seg == 0), scorer=scorer, decoder=decoder
-        ):
+    for (s_seg, _), mentions in zip(segments, per_seg_mentions):
+        for cat, cs, ce, mention, indent in mentions:
             key = (cat, cs + s_seg, ce + s_seg)  # str(ent) key, task_ner.py:1410
             if key in seen:
                 # overlap duplicate — but keep max indent (cut-into-indent case)

@@ -200,14 +200,20 @@ def brat_export_df(mentions: DataFrame) -> DataFrame:
     \\t<mention>", numbered in start order per doc. (The reference's own brat
     module is absent from the snapshot — SURVEY.md §2.1 S6; format per the
     public brat standoff spec.) Built with JVM array ops: collect per doc,
-    sort by start, transform to lines — no Python."""
+    sort by start, transform to lines — no Python.
+
+    Mention text containing a tab or newline would corrupt the line-based
+    standoff format, so both are replaced with a single space — what real
+    brat does with newlines in text-bound annotations (the offsets remain
+    the source of truth; parse_brat_df splits on the first two tabs only,
+    so a replaced mention still round-trips structurally)."""
     tags = mentions.select(
         "doc_id",
         F.struct(
             F.col("start").cast("long").alias("start"),
             (F.col("end").cast("long") + 1).alias("end_excl"),
             F.col("category").alias("category"),
-            F.col("mention").alias("mention"),
+            F.regexp_replace(F.col("mention"), "[\t\n\r]", " ").alias("mention"),
         ).alias("tag"),
     )
     return (
@@ -239,7 +245,9 @@ def parse_brat_df(anns: DataFrame) -> DataFrame:
     lines = anns.select(
         "doc_id", F.explode(F.split(F.col("ann"), "\n")).alias("line")
     ).filter(F.col("line").startswith("T"))
-    mid = F.split(F.col("line"), "\t")
+    # limit=3: only the first two tabs are structural (id / span header /
+    # mention); any further tab belongs to the mention text itself
+    mid = F.split(F.col("line"), "\t", 3)
     head = F.split(mid.getItem(1), " ")
     return lines.select(
         "doc_id",
