@@ -77,6 +77,30 @@ def test_ensemble_of_identical_models_is_identity(spark, segs50):
     assert len(single) > 100
 
 
+def test_fused_ensemble_equals_relational_combine(spark, segs50):
+    """The fused single-stage ensemble (production path: N models scored,
+    averaged, and decoded inside one Arrow stage) produces EXACTLY the
+    same mentions as the relational chain (score_probs per model ->
+    co-partitioned joins -> zip_with average -> decode_probs) — same
+    weights, same left-to-right accumulation order."""
+    from theta_spark.operators.ensemble import fused_ensemble_extract
+    from theta_spark.operators.neural import default_mlp_scorer
+    from theta_spark.operators.scoring import RULE_SCORER
+
+    scorers = [RULE_SCORER, default_mlp_scorer(), RULE_SCORER]
+    pm = [score_probs(segs50, s) for s in scorers]
+    cols = ["doc_id", "seg_id", "category_id", "start", "end", "mention"]
+    relational = {
+        tuple(r) for r in decode_probs(ensemble_probs(pm)).select(*cols).collect()
+    }
+    fused = {
+        tuple(r)
+        for r in fused_ensemble_extract(segs50, scorers).select(*cols).collect()
+    }
+    assert fused == relational
+    assert len(fused) > 100
+
+
 def test_ensemble_rule_plus_mlp(spark, segs50):
     """Heterogeneous ensemble (rule scorer + trained MLP): end-to-end
     through score -> Newton-cooling average -> shared decode; the averaged
