@@ -28,7 +28,14 @@ from pyspark.sql.streaming.state import GroupStateTimeout
 SESSION_SCHEMA = (
     "user_id bigint, session_start long, session_end long, n_events bigint, first_event bigint"
 )
-_STATE_SCHEMA = "start long, last long, n long, first_event long"
+# open-session walk state + the event-time buffer: events above the
+# watermark wait here (as parallel ts/event_id arrays) until the watermark
+# passes them, so cross-batch out-of-order arrivals sessionize in EVENT
+# time, not arrival order
+_STATE_SCHEMA = (
+    "start long, last long, n long, first_event long, "
+    "buf_ts array<long>, buf_eid array<long>"
+)
 
 
 def windowed_event_counts(
@@ -59,54 +66,85 @@ def windowed_event_counts(
     )
 
 
-def _session_walk(key, pdfs, state, gap: int) -> Iterator[pd.DataFrame]:
-    """Per-user session walk. State = (start, last, n, first_event) of the
-    OPEN session; a row more than `gap` after `last` closes the open
-    session (emitted) and opens a new one. Rows are sorted per micro-batch
-    (in-order within a batch; cross-batch order is arrival order — the
-    standard stateful-streaming contract, with late rows a watermark
-    concern). On event-time timeout (watermark passed gap beyond the last
-    event) the open session is flushed and state cleared."""
-    (user_id,) = key
-    cols = ["user_id", "session_start", "session_end", "n_events", "first_event"]
+_SESSION_COLS = ["user_id", "session_start", "session_end", "n_events", "first_event"]
 
-    if state.hasTimedOut:
-        if state.exists:
-            start, last, n, first_event = state.get
-            state.remove()
-            yield pd.DataFrame([(user_id, start, last, n, first_event)], columns=cols)
-        return
+
+def _walk_sorted(user_id, events, start, last, n, first_event, gap: int):
+    """The pure gaps-and-islands walk over time-ordered events: a row more
+    than `gap` after `last` closes the open session and opens a new one.
+    Returns (closed session tuples, open-session state)."""
+    out = []
+    for ts_s, eid in events:
+        if last is not None and ts_s - last > gap:
+            out.append((user_id, start, last, n, first_event))
+            start, n, first_event = None, 0, None
+        if start is None:
+            start, first_event = ts_s, eid
+        last = ts_s
+        n += 1
+    return out, (start, last, n, first_event)
+
+
+def _session_walk(key, pdfs, state, gap: int) -> Iterator[pd.DataFrame]:
+    """Per-user EVENT-TIME session walk. New rows first land in a state
+    buffer; only events at or below the current watermark are walked (in
+    (ts, event_id) order) — Spark guarantees no later-arriving row can
+    have a smaller event time than the watermark, so the walked prefix is
+    final and a within-watermark out-of-order arrival in a LATER
+    micro-batch sessionizes exactly as the batch twin would (arrival order
+    is irrelevant). The open session is flushed once the watermark passes
+    `gap` beyond its last event — at that point no admissible event can
+    extend it; buffered events above the watermark wake the key via an
+    event-time timeout when the watermark reaches them."""
+    (user_id,) = key
 
     if state.exists:
-        start, last, n, first_event = state.get
+        start, last, n, first_event, buf_ts, buf_eid = state.get
+        buf = list(zip(buf_ts, buf_eid))
     else:
         start = last = first_event = None
         n = 0
+        buf = []
 
-    out = []
-    for pdf in pdfs:
-        pdf = pdf.sort_values(["_ts_s", "event_id"])
-        for ts_s, eid in zip(pdf["_ts_s"], pdf["event_id"]):
-            ts_s, eid = int(ts_s), int(eid)
-            if last is not None and ts_s - last > gap:
-                out.append((user_id, start, last, n, first_event))
-                start, n, first_event = None, 0, None
-            if start is None:
-                start, first_event = ts_s, eid
-            last = ts_s
-            n += 1
-    state.update((start, last, n, first_event))
-    # flush the open session once the watermark passes gap beyond its last
-    # event. Registered UNCONDITIONALLY (not only when the watermark is
-    # already nonzero): during the FIRST micro-batch the watermark is still
-    # 0, and a timeout never registered never fires — a user whose events
-    # all arrive in that batch would otherwise keep an open tail forever.
-    # The timestamp always exceeds the current watermark (required by
-    # EventTimeTimeout) because rows below the watermark are dropped before
-    # this operator, so last >= watermark here.
-    state.setTimeoutTimestamp((last + gap + 1) * 1000)
+    if not state.hasTimedOut:
+        for pdf in pdfs:
+            buf.extend(zip((int(t) for t in pdf["_ts_s"]), (int(e) for e in pdf["event_id"])))
+    buf.sort()
+
+    wm_s = state.getCurrentWatermarkMs() // 1000
+    final = [ev for ev in buf if ev[0] <= wm_s]
+    buf = buf[len(final):]
+    out, (start, last, n, first_event) = _walk_sorted(
+        user_id, final, start, last, n, first_event, gap
+    )
+    if last is not None and wm_s - last > gap:
+        # no admissible event can extend the open session: every buffered
+        # event and every future arrival has ts > wm > last + gap
+        out.append((user_id, start, last, n, first_event))
+        start = last = first_event = None
+        n = 0
+
+    if last is None and not buf:
+        if state.exists:
+            state.remove()
+    else:
+        state.update((start, last, n, first_event,
+                      [t for t, _ in buf], [e for _, e in buf]))
+        # wake when the watermark next crosses a decision point: the
+        # earliest buffered event (to finalize it) or gap past the open
+        # session's last event (to flush the tail). Registered
+        # UNCONDITIONALLY — during the FIRST micro-batch the watermark is
+        # still 0 and a timeout never registered never fires. The
+        # max(.., wm_s + 1) keeps it strictly above the current watermark
+        # (required by EventTimeTimeout).
+        wake = []
+        if buf:
+            wake.append(buf[0][0] + 1)
+        if last is not None:
+            wake.append(last + gap + 1)
+        state.setTimeoutTimestamp(max(min(wake), wm_s + 1) * 1000)
     if out:
-        yield pd.DataFrame(out, columns=cols)
+        yield pd.DataFrame(out, columns=_SESSION_COLS)
 
 
 def sessionize_stream(
@@ -118,16 +156,24 @@ def sessionize_stream(
     """(user_id, ts, event_id) stream -> COMPLETED sessions
     (user_id, session_start, session_end, n_events, first_event) via
     applyInPandasWithState — the streaming twin of the batch
-    `d3_gaps_islands` query. A session closes when its user's next event
-    is > gap_sec later (emitted immediately) or when the watermark passes
-    gap_sec beyond its last event (event-time timeout flush). The open
-    tail session per user stays in state until one of those happens —
-    exactly the semantics a resumable streaming sessionizer must have.
+    `d3_gaps_islands` query, EVENT-TIME correct across micro-batches:
+    events buffer in state until the watermark passes them, so a
+    within-watermark late event arriving a batch after a newer one still
+    sessionizes exactly as the batch walk over globally time-sorted rows
+    (tested: tests/test_streaming_stateful.py cross-batch out-of-order
+    equivalence). A session is emitted once the watermark passes its
+    closing gap (or the event-time timeout flushes the open tail); the
+    open tail below watermark+gap stays in state — exactly the semantics
+    a resumable streaming sessionizer must have.
+
+    State size per user is the open session tuple plus only the events
+    inside the watermark delay (bounded by the lateness bound x event
+    rate), partitioned horizontally on user_id like any groupBy.
 
     Also runs on a BATCH DataFrame (applyInPandasWithState is
-    streaming-only, so the batch path reuses the SAME walk through
-    applyInPandas with a stub state): emits every session except each
-    user's open tail — the equivalence test compares this against
+    streaming-only, so the batch path runs the SAME pure walk over the
+    complete sorted history via applyInPandas): emits every session except
+    each user's open tail — the equivalence test compares this against
     `d3_gaps_islands` directly."""
     ts = F.col(ts_col).cast("timestamp_ltz")
     base = events.withColumn("_ts", ts).withColumn("_ts_s", F.col("_ts").cast("long"))
@@ -143,32 +189,12 @@ def sessionize_stream(
         )
 
     def batch_func(key, pdf):
-        frames = list(_session_walk(key, [pdf], _BatchState(), gap_sec))
-        if frames:
-            return pd.concat(frames, ignore_index=True)
-        return pd.DataFrame(
-            {
-                c: pd.Series(dtype="int64")
-                for c in ["user_id", "session_start", "session_end", "n_events", "first_event"]
-            }
-        )
+        (user_id,) = key
+        pdf = pdf.sort_values(["_ts_s", "event_id"])
+        events_sorted = zip((int(t) for t in pdf["_ts_s"]), (int(e) for e in pdf["event_id"]))
+        closed, _open_tail = _walk_sorted(user_id, events_sorted, None, None, 0, None, gap_sec)
+        if closed:
+            return pd.DataFrame(closed, columns=_SESSION_COLS)
+        return pd.DataFrame({c: pd.Series(dtype="int64") for c in _SESSION_COLS})
 
     return base.groupBy("user_id").applyInPandas(batch_func, SESSION_SCHEMA)
-
-
-class _BatchState:
-    """Stub GroupState for the batch path of sessionize_stream: no prior
-    state, no timeout, updates discarded (the open tail stays unemitted,
-    matching the streaming append semantics before any timeout)."""
-
-    hasTimedOut = False
-    exists = False
-
-    def update(self, value):
-        self.value = value
-
-    def remove(self):  # pragma: no cover - never hit without timeouts
-        pass
-
-    def setTimeoutTimestamp(self, ms):
-        pass
