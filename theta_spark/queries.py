@@ -1360,3 +1360,158 @@ def st_window_counts(spark, sf_dir):
 
     e = _load(spark, sf_dir, "events")
     return windowed_event_counts(e, "10 minutes").orderBy("window_start", "event_type")
+
+
+# ------------------------------------------------------------------- P6
+@query(
+    "p6_label_encode",
+    r"""
+    WITH ws AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ), words AS (
+      SELECT doc_id, wo['pos'] AS pos, wo['w'] AS w, wo['start'] AS start
+      FROM (
+        SELECT doc_id, unnest(list_transform(range(1, len(w) + 1), i -> {
+          'pos': i - 1, 'w': w[i],
+          'start': CASE WHEN i = 1 THEN 0
+                        ELSE list_sum(list_transform(w[1:i-1], x -> len(x) + 1)) END
+        })) AS wo
+        FROM ws
+      )
+    ), wn AS (
+      SELECT doc_id, w, start, start + len(w) - 1 AS fin,
+             LEAD(w) OVER (PARTITION BY doc_id ORDER BY pos) AS next_w,
+             LEAD(start) OVER (PARTITION BY doc_id ORDER BY pos) AS next_start
+      FROM words
+    ), tags AS (
+      SELECT doc_id, CAST(len(w) % 6 + 1 AS INT) AS category_id, start, fin
+      FROM wn WHERE len(w) >= 6
+      UNION ALL
+      SELECT doc_id, 2, start, next_start + 2
+      FROM wn WHERE len(w) = 5 AND len(next_w) = 3
+    ), segs AS (
+      SELECT doc_id, CAST(s_seg / 63 AS INT) AS seg_id, CAST(s_seg AS INT) AS s_seg,
+             substr(text, CAST(s_seg AS INT) + 1, 126) AS seg_text
+      FROM (
+        SELECT doc_id, text,
+               unnest(generate_series(0, CAST(length(text) AS BIGINT) - 1, 63)) AS s_seg
+        FROM documents
+      )
+    ), seg_tok AS (
+      SELECT doc_id, seg_id, s_seg, seg_text, unnest(range(0, n_tok)) AS tok
+      FROM (
+        SELECT *, CAST(len(list_filter(string_split(seg_text, ' '), x -> x != '')) AS BIGINT) AS n_tok
+        FROM segs
+      )
+    ), placed AS (
+      -- token index of a local char offset p (single-space text): spaces
+      -- before p, minus one when the window starts on a space (that space
+      -- precedes token 0)
+      SELECT s.doc_id, s.seg_id,
+             len(substr(s.seg_text, 1, CAST(g.start - s.s_seg AS INT)))
+               - len(replace(substr(s.seg_text, 1, CAST(g.start - s.s_seg AS INT)), ' ', ''))
+               - CASE WHEN substr(s.seg_text, 1, 1) = ' ' THEN 1 ELSE 0 END AS s_tok,
+             len(substr(s.seg_text, 1, CAST(g.fin - s.s_seg AS INT)))
+               - len(replace(substr(s.seg_text, 1, CAST(g.fin - s.s_seg AS INT)), ' ', ''))
+               - CASE WHEN substr(s.seg_text, 1, 1) = ' ' THEN 1 ELSE 0 END AS e_tok,
+             g.category_id
+      FROM segs s JOIN tags g
+        ON g.doc_id = s.doc_id
+       AND g.start >= s.s_seg
+       AND g.fin <= s.s_seg + len(s.seg_text) - 1
+    )
+    SELECT t.doc_id, t.seg_id, CAST(t.tok AS INT) AS tok,
+           CAST(COALESCE(MAX(CASE WHEN p.s_tok = t.tok THEN p.category_id END), 0) AS INT) AS start_id,
+           CAST(COALESCE(MAX(CASE WHEN p.e_tok = t.tok THEN p.category_id END), 0) AS INT) AS end_id
+    FROM seg_tok t
+    LEFT JOIN placed p
+      ON p.doc_id = t.doc_id AND p.seg_id = t.seg_id
+     AND (p.s_tok = t.tok OR p.e_tok = t.tok)
+    GROUP BY t.doc_id, t.seg_id, t.tok
+    ORDER BY t.doc_id, t.seg_id, t.tok
+    """,
+)
+def p6_label_encode(spark, sf_dir):
+    """P6 train-path label encoding (task_ner.py:131-166): deterministic
+    gold tags — every word of length >= 6 as a single-token span with
+    category (len % 6) + 1, every (5-letter, 3-letter) adjacent word pair
+    as a two-token span with category 2 (disjoint by construction, so no
+    write conflicts) — projected into the W1 sliding windows as per-token
+    start_ids/end_ids via the containment join + Arrow encode in
+    operators.labels.encode_labels, then exploded to one row per token so
+    the driver hash is engine-agnostic. The oracle rebuilds word offsets,
+    tags, windows, and the char->token map in SQL."""
+    from theta_spark.operators.labels import encode_labels
+    from theta_spark.operators.segmentation import segment
+
+    d = _load(spark, sf_dir, "documents").select("doc_id", "text")
+    win = Window.partitionBy("doc_id").orderBy("pos")
+    words = (
+        d.select("doc_id", F.posexplode(F.split("text", " ")).alias("pos", "w"))
+        .withColumn(
+            "start",
+            F.coalesce(
+                F.sum(F.length("w") + 1).over(win.rowsBetween(Window.unboundedPreceding, -1)),
+                F.lit(0),
+            ).cast("long"),
+        )
+        .withColumn("next_w", F.lead("w").over(win))
+        .withColumn("next_start", F.lead("start").over(win))
+    )
+    singles = words.filter(F.length("w") >= 6).select(
+        "doc_id",
+        (F.length("w") % 6 + 1).cast("int").alias("category_id"),
+        "start",
+        (F.col("start") + F.length("w") - 1).alias("end"),
+    )
+    pairs = words.filter((F.length("w") == 5) & (F.length("next_w") == 3)).select(
+        "doc_id",
+        F.lit(2).cast("int").alias("category_id"),
+        "start",
+        (F.col("next_start") + 2).alias("end"),
+    )
+    tags = singles.unionByName(pairs)
+    enc = encode_labels(segment(d, "text", 126, 63), tags)
+    return (
+        enc.select(
+            "doc_id", "seg_id",
+            F.posexplode(F.arrays_zip("start_ids", "end_ids")).alias("tok", "ids"),
+        )
+        .select(
+            "doc_id", "seg_id", "tok",
+            F.col("ids.start_ids").alias("start_id"),
+            F.col("ids.end_ids").alias("end_id"),
+        )
+        .orderBy("doc_id", "seg_id", "tok")
+    )
+
+
+@query(
+    "kg_triples_prf_mlp",
+    """
+    SELECT (SELECT COUNT(*) FROM documents) AS n_docs,
+           CAST(1.0 AS DOUBLE) AS precision_v,
+           CAST(1.0 AS DOUBLE) AS recall_v,
+           CAST(1.0 AS DOUBLE) AS f1
+    """,
+)
+def kg_triples_prf_mlp(spark, sf_dir):
+    """kg_triples_prf's twin with cfg.scorer='mlp': the TRAINED model
+    (operators/neural.py MLPScorer — seeded numpy training, deterministic
+    weights, batched forward), not the rule stand-in, runs the full
+    segment -> score -> decode -> dedup -> triple assembly pipeline and
+    must still recover the generator's structural gold exactly
+    (P=R=F1=1.0). Proves the learned scorer path end-to-end through the
+    driver gate, not just via pytest."""
+    from theta_spark.config import PipelineConfig
+    from theta_spark.corpus import GOLD_TRIPLES_SCHEMA, corpus_df, gold_triple_rows
+    from theta_spark.metrics import triple_set_prf
+    from theta_spark.pipeline import extract_triples
+
+    n_docs = _load(spark, sf_dir, "documents").count()
+    corpus, docs = corpus_df(spark, n_docs, seed=42, num_partitions=8, with_docs=True)
+    pred = extract_triples(corpus, PipelineConfig(scorer="mlp"))
+    gold = spark.createDataFrame(gold_triple_rows(docs), GOLD_TRIPLES_SCHEMA)
+    return triple_set_prf(pred, gold).select(
+        F.lit(n_docs).cast("long").alias("n_docs"), "precision_v", "recall_v", "f1"
+    )
