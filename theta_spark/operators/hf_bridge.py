@@ -79,3 +79,32 @@ class HFTokenizerAdapter:
     def tokenize_with_offsets(self, text: str):
         """Single-text contract (operators/scoring.py:43-51)."""
         return self.tokenize_batch([text])[0]
+
+    def encode_batch(self, texts: list) -> list:
+        """Model-forward fidelity: per text (input_ids, tokens, starts,
+        ends, positions) where input_ids is the UNTRIMMED id sequence a
+        transformer consumes (specials/pads included — the encoder needs
+        [CLS]/[SEP] context) and positions[i] is the model-sequence index
+        of engine-contract token i. A BertSpan-style head emits per-model-
+        position start/end probs; `probs[positions]` selects the rows the
+        engine decode walks, exactly the reference's offset_mapping gather
+        (task_ner.py:594-607)."""
+        enc = self._tok(
+            list(texts),
+            return_offsets_mapping=True,
+            add_special_tokens=self.add_special_tokens,
+            truncation=True,
+            max_length=self.max_length,
+        )
+        out = []
+        for text, ids, offsets in zip(texts, enc["input_ids"], enc["offset_mapping"]):
+            tokens, starts, ends, positions = [], [], [], []
+            for pos, (s, e) in enumerate(offsets):
+                if e <= s:  # special/pad tokens surface as (0, 0)
+                    continue
+                tokens.append(text[s:e])
+                starts.append(s)
+                ends.append(e)
+                positions.append(pos)
+            out.append((list(ids), tokens, starts, ends, positions))
+        return out
