@@ -39,7 +39,7 @@ def test_full_pipeline_resume(spark, corpus50, tmp_path):
     n_triples = r1["triples"].count()
     n_nodes = r1["nodes"].count()
     assert n_triples > 0 and n_nodes > 0
-    for stage in ["mentions", "triples", "nodes", "edges"]:
+    for stage in ["mentions", "triples", "nodes", "edge_provenance", "edges"]:
         assert stage_complete(wd, stage)
 
     # resume from snapshots: same results without recompute (pass a corpus
@@ -56,6 +56,28 @@ def test_edges_aggregate_hot_entity(spark, corpus50, tmp_path):
     edges = {(e.subj, e.pred, e.obj): e.n_docs for e in r["edges"].collect()}
     hot = [(k, v) for k, v in edges.items() if k[2] == "shared_util" and k[1] == "calls"]
     assert hot, "hot entity shared_util must appear as a call target"
+
+
+def test_edge_provenance_carries_sha_invariant(spark, corpus50, docs50, tmp_path):
+    """The graph layer keeps the input_hint sha256 invariant: every
+    edge_provenance row's sha256 equals sha256(content) of its source
+    document, and the edges table is exactly the provenance aggregation
+    (so every edge is auditable back to document contents)."""
+    import hashlib
+
+    wd = str(tmp_path / "run3")
+    r = run_pipeline(spark, corpus50, wd)
+    sha_by_id = {d.doc_id: hashlib.sha256(d.content.encode()).hexdigest() for d in docs50}
+    prov = r["edge_provenance"].collect()
+    assert prov
+    for row in prov:
+        assert row.sha256 == sha_by_id[row.doc_id], row
+    # edges == groupBy of provenance (same keys, same doc counts)
+    from collections import Counter
+
+    agg = Counter((p.subj, p.pred, p.obj) for p in prov)
+    edges = {(e.subj, e.pred, e.obj): e.n_docs for e in r["edges"].collect()}
+    assert edges == dict(agg)
 
 
 def test_per_partition_lineage_and_audit(spark, tmp_path):
@@ -101,7 +123,7 @@ def test_empty_corpus_pipeline_and_resume(spark, tmp_path):
     wd = str(tmp_path / "wd")
     stages = run_pipeline(spark, corpus, wd, PipelineConfig(), resume=False)
     assert {k: v.count() for k, v in stages.items()} == {
-        "mentions": 0, "triples": 0, "nodes": 0, "edges": 0,
+        "mentions": 0, "triples": 0, "nodes": 0, "edge_provenance": 0, "edges": 0,
     }
     resumed = run_pipeline(spark, corpus, wd, PipelineConfig(), resume=True)
     assert resumed["edges"].count() == 0

@@ -147,6 +147,11 @@ def build_nodes_edges(triples: DataFrame, mentions: DataFrame, cfg: PipelineConf
         F.sum("cnt").alias("n_mentions"), F.sum("docs_part").alias("n_doc_parts")
     )
 
+    # canonical-keyed triples WITH provenance: doc_id + the per-row sha256
+    # content invariant (input_hint) survive canonicalization — this is the
+    # edge_provenance table run_pipeline snapshots, so every aggregated
+    # edge can be audited back to the exact document contents it came from
+    prov_cols = ["doc_id"] + (["sha256"] if "sha256" in triples.columns else [])
     t = (
         triples.join(canon_b.withColumnRenamed("name", "subj").withColumnRenamed("canonical", "subj_c"), on="subj", how="left")
         .join(canon_b.withColumnRenamed("name", "obj").withColumnRenamed("canonical", "obj_c"), on="obj", how="left")
@@ -154,7 +159,7 @@ def build_nodes_edges(triples: DataFrame, mentions: DataFrame, cfg: PipelineConf
             F.coalesce("subj_c", "subj").alias("subj"),
             "pred",
             F.coalesce("obj_c", "obj").alias("obj"),
-            "doc_id",
+            *prov_cols,
         )
     )
     edges = t.groupBy("subj", "pred", "obj").agg(F.count(F.lit(1)).alias("n_docs"))
@@ -297,7 +302,7 @@ def run_pipeline(spark: SparkSession, corpus: DataFrame, workdir: str, cfg: Pipe
 
     def _build_nodes():
         n, e, t = build_nodes_edges(triples, mentions, cfg)
-        nodes_edges["edges"] = e
+        nodes_edges["prov"] = t
         return n
 
     # nodes partitioned by category, edges by predicate (north rule:
@@ -309,12 +314,32 @@ def run_pipeline(spark: SparkSession, corpus: DataFrame, workdir: str, cfg: Pipe
         spark, workdir, "nodes", _build_nodes, partition_cols=["category"], resume=resume
     )
 
+    # lineage at the graph layer: the canonical-keyed triple stream WITH
+    # (doc_id, sha256) provenance is its own snapshot, and the edges table
+    # aggregates FROM that snapshot — so the sha256 content invariant is
+    # auditable end-to-end (corpus -> mentions -> triples -> edge rows) and
+    # the canonicalization joins are not recomputed for the edges stage
+    def _build_prov():
+        if "prov" not in nodes_edges:
+            nodes_edges["prov"] = build_nodes_edges(triples, mentions, cfg)[2]
+        return nodes_edges["prov"]
+
+    edge_provenance = run_checkpointed(
+        spark, workdir, "edge_provenance", _build_prov, partition_cols=["pred"], resume=resume
+    )
+
     def _build_edges():
-        if "edges" not in nodes_edges:
-            nodes_edges["edges"] = build_nodes_edges(triples, mentions, cfg)[1]
-        return nodes_edges["edges"]
+        return edge_provenance.groupBy("subj", "pred", "obj").agg(
+            F.count(F.lit(1)).alias("n_docs")
+        )
 
     edges = run_checkpointed(
         spark, workdir, "edges", _build_edges, partition_cols=["pred"], resume=resume
     )
-    return {"mentions": mentions, "triples": triples, "nodes": nodes, "edges": edges}
+    return {
+        "mentions": mentions,
+        "triples": triples,
+        "nodes": nodes,
+        "edge_provenance": edge_provenance,
+        "edges": edges,
+    }
