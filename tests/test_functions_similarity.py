@@ -105,3 +105,30 @@ def test_cosine_near_dup_pairs_planted(spark):
     out = {(r.a, r.b) for r in cosine_near_dup_pairs(_embeddings(spark), threshold=0.99).collect()}
     assert (0, 100) in out
     assert len(out) == 1
+
+
+def test_kmeans_cells_lloyd_deterministic_and_clusters(spark):
+    """Lloyd's trainer: deterministic across runs, every vector assigned to
+    a live cell, and the learned cells separate an obviously-clustered
+    input (two orthogonal bundles -> members of each bundle share a cell)."""
+    import numpy as np
+
+    from theta_spark.functions.similarity import kmeans_cells_lloyd
+
+    rng = np.random.default_rng(3)
+    rows = []
+    for i in range(40):
+        base = np.zeros(8)
+        base[0 if i % 2 == 0 else 4] = 10.0  # two orthogonal bundles
+        rows.append((i, (base + rng.normal(0, 0.1, 8)).tolist()))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    a1, c1 = kmeans_cells_lloyd(df, k=2, iters=2)
+    a2, c2 = kmeans_cells_lloyd(df, k=2, iters=2)
+    m1 = {r.vec_id: r.cell for r in a1.collect()}
+    m2 = {r.vec_id: r.cell for r in a2.collect()}
+    assert m1 == m2 and c1 == c2          # deterministic
+    assert len(m1) == 40
+    evens = {m1[i] for i in range(0, 40, 2)}
+    odds = {m1[i] for i in range(1, 40, 2)}
+    assert len(evens) == 1 and len(odds) == 1 and evens != odds

@@ -187,6 +187,69 @@ def ivf_topk_multiprobe(
     )
 
 
+def kmeans_cells_lloyd(
+    corpus: DataFrame,
+    k: int = 4,
+    iters: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    decimals: int = 6,
+):
+    """Spark-side Lloyd's k-means over the unit vectors — the real coarse
+    quantizer for IVF (replacing the precomputed `label` stand-in):
+
+    - init: the unit vectors of the k smallest ids (deterministic, no RNG);
+    - assign: argmax of the ROUNDED dot against each centroid, lowest cell
+      on ties. The codebook is tiny by design, so centroids ride the plan
+      as LITERAL arrays — the assignment is pure whole-stage codegen over
+      one corpus scan, zero shuffle (no window, no join);
+    - update: per-dim mean of member units via one (cell, pos)-keyed
+      shuffle of k*dim groups, ROUNDed so both engines and any partition
+      order reproduce the same codebook; an emptied cell drops out
+      (both sides identically).
+
+    After `iters` update rounds, a final assignment against the final
+    codebook is returned: (assignment df (id_col, cell), centroids
+    [(cell, vector)]). Per-iteration driver traffic is k*dim doubles —
+    independent of corpus size, exactly how a real IVF trainer samples."""
+    u = with_unit_vec(corpus, vec_col).select(F.col(id_col).alias("_vid"), "unit")
+    u = u.persist()
+    init_rows = u.orderBy("_vid").limit(k).collect()
+    cents = [(i, [float(x) for x in r["unit"]]) for i, r in enumerate(init_rows)]
+
+    def assign(cents_):
+        sims = [
+            F.round(_dot(F.col("unit"), F.array([F.lit(x) for x in vec])), 4).alias(f"_s{c}")
+            for c, vec in cents_
+        ]
+        scored = u.select("_vid", "unit", *sims)
+        best = F.greatest(*[F.col(f"_s{c}") for c, _ in cents_])
+        cell = None
+        for c, _ in cents_:  # ascending cell order = lowest cell wins ties
+            cond = F.col(f"_s{c}") == best
+            cell = F.when(cond, c) if cell is None else cell.when(cond, c)
+        return scored.select("_vid", "unit", cell.alias("cell"))
+
+    for _ in range(iters):
+        assigned = assign(cents)
+        per_dim = (
+            assigned.select("cell", F.posexplode("unit").alias("pos", "x"))
+            .groupBy("cell", "pos")
+            .agg(F.round(F.avg("x"), decimals).alias("c"))
+        )
+        rows = (
+            per_dim.groupBy("cell")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "c"))).alias("pc"))
+            .select("cell", F.transform("pc", lambda s: s["c"]).alias("cvec"))
+            .collect()
+        )
+        cents = sorted((int(r["cell"]), [float(x) for x in r["cvec"]]) for r in rows)
+
+    out = assign(cents).select(F.col("_vid").alias(id_col), "cell")
+    u.unpersist()
+    return out, cents
+
+
 def cosine_near_dup_pairs(
     df: DataFrame,
     threshold: float = 0.95,

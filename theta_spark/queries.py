@@ -1515,3 +1515,64 @@ def kg_triples_prf_mlp(spark, sf_dir):
     return triple_set_prf(pred, gold).select(
         F.lit(n_docs).cast("long").alias("n_docs"), "precision_v", "recall_v", "f1"
     )
+
+
+@query(
+    "sim_ivf_kmeans_topk",
+    _UNIT_CTE
+    + r"""
+    , cent0 AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cell, unit AS cvec
+      FROM (SELECT vec_id, unit FROM u ORDER BY vec_id LIMIT 4)
+    ), a1 AS (
+      SELECT vec_id, unit, cell FROM (
+        SELECT u.vec_id, u.unit, c.cell,
+               ROW_NUMBER() OVER (
+                 PARTITION BY u.vec_id
+                 ORDER BY ROUND(list_sum(list_transform(generate_series(1, 64),
+                                i -> u.unit[i] * c.cvec[i])), 4) DESC, c.cell) AS rk
+        FROM u CROSS JOIN cent0 c
+      ) WHERE rk = 1
+    ), dims AS (SELECT unnest(generate_series(1, 64)) AS i),
+    cent1 AS (
+      SELECT cell, list(c ORDER BY pos) AS cvec FROM (
+        SELECT a1.cell, d.i AS pos, ROUND(AVG(a1.unit[d.i]), 6) AS c
+        FROM a1 CROSS JOIN dims d GROUP BY a1.cell, d.i
+      ) GROUP BY cell
+    ), af AS (
+      SELECT vec_id, unit, cell FROM (
+        SELECT u.vec_id, u.unit, c.cell,
+               ROW_NUMBER() OVER (
+                 PARTITION BY u.vec_id
+                 ORDER BY ROUND(list_sum(list_transform(generate_series(1, 64),
+                                i -> u.unit[i] * c.cvec[i])), 4) DESC, c.cell) AS rk
+        FROM u CROSS JOIN cent1 c
+      ) WHERE rk = 1
+    ), q AS (SELECT vec_id AS query_id, cell, unit AS qu FROM af WHERE vec_id % 25 = 0),
+    scored AS (
+      SELECT q.query_id, c.vec_id AS neighbor_id,
+             ROUND(list_sum(list_transform(generate_series(1, 64), i -> c.unit[i] * q.qu[i])), 4) AS cos_sim
+      FROM af c JOIN q ON c.cell = q.cell AND c.vec_id <> q.query_id
+    )
+    SELECT query_id, neighbor_id, cos_sim, rk FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rk
+      FROM scored
+    ) WHERE rk <= 5 ORDER BY query_id, rk
+    """,
+)
+def sim_ivf_kmeans_topk(spark, sf_dir):
+    """IVF top-k over a LEARNED coarse quantizer: one deterministic
+    Lloyd's round (k=4, init = unit vectors of the 4 smallest ids) trains
+    the codebook Spark-side — centroid assignment is pure codegen over
+    literal centroid arrays (zero shuffle), the update one tiny
+    (cell, pos)-keyed agg — then the standard single-probe IVF join runs
+    on the learned cells. Completes the ANN story: the `label` column
+    stand-in is replaced by k-means cells (functions/similarity.py
+    kmeans_cells_lloyd). The oracle unrolls the same Lloyd round in SQL."""
+    from theta_spark.functions.similarity import ivf_topk, kmeans_cells_lloyd
+
+    e = _load(spark, sf_dir, "embeddings")
+    assign, _cents = kmeans_cells_lloyd(e, k=4, iters=1)
+    with_cells = e.join(assign, on="vec_id")
+    qs = with_cells.filter(F.col("vec_id") % 25 == 0)
+    return ivf_topk(with_cells, qs, k=5, cell_col="cell").orderBy("query_id", "rk")
