@@ -1,0 +1,135 @@
+"""Graph analytics (functions/graph.py): fixed-point PageRank vs a pure-
+python replica, degree-oriented triangle count vs brute force, degree/
+2-hop vs hand computation — plus the operators run over the REAL KG
+pipeline edge table (not just the driver's lineitem-derived graph)."""
+
+from __future__ import annotations
+
+import itertools
+
+import pytest
+from pyspark.sql import functions as F
+
+from theta_spark.functions.graph import (
+    SCALE,
+    degree_stats,
+    pagerank,
+    triangle_count,
+    two_hop_reach,
+    undirected_edges,
+)
+
+# deterministic pseudo-random digraph: 40 nodes, edge (i,j) iff
+# md5-ish arithmetic hash below threshold — no RNG, stable everywhere
+NODES = list(range(40))
+EDGES = [
+    (i, j)
+    for i, j in itertools.product(NODES, NODES)
+    if i != j and ((i * 7919 + j * 104729) % 997) < 80
+]
+
+
+@pytest.fixture(scope="module")
+def edges_df(spark):
+    return spark.createDataFrame(EDGES, "src: long, dst: long")
+
+
+def _py_pagerank(edges, iters=4, damping=85):
+    nodes = sorted({u for e in edges for u in e})
+    n = len(nodes)
+    base = SCALE // n
+    outd = {}
+    for s, _ in set(edges):
+        outd[s] = outd.get(s, 0) + 1
+    r = {v: base for v in nodes}
+    for _ in range(iters):
+        s = {v: 0 for v in nodes}
+        for u, v in set(edges):
+            s[v] += r[u] // outd[u]
+        dm = sum(r[v] for v in nodes if v not in outd)
+        r = {
+            v: ((100 - damping) * base) // 100 + (damping * (s[v] + dm // n)) // 100
+            for v in nodes
+        }
+    return r
+
+
+def test_pagerank_matches_python_replica(spark, edges_df):
+    got = {r["node"]: r["rank_s"] for r in pagerank(edges_df, iters=4).collect()}
+    want = _py_pagerank(EDGES, iters=4)
+    assert got == want
+
+
+def test_pagerank_dangling_and_mass(spark):
+    # star into a sink: 1..4 -> 0, node 0 dangling
+    e = spark.createDataFrame([(i, 0) for i in range(1, 5)], "src: long, dst: long")
+    rows = {r["node"]: r["rank_s"] for r in pagerank(e, iters=3).collect()}
+    want = _py_pagerank([(i, 0) for i in range(1, 5)], iters=3)
+    assert rows == want
+    # mass conserved up to floor leaks, sink holds the most rank
+    assert sum(rows.values()) <= SCALE
+    assert sum(rows.values()) > SCALE - 1000
+    assert rows[0] == max(rows.values())
+
+
+def test_pagerank_partitioning_invariance(spark, edges_df):
+    a = pagerank(edges_df.repartition(1), iters=3).collect()
+    b = pagerank(edges_df.repartition(7, "dst"), iters=3).collect()
+    assert {(r["node"], r["rank_s"]) for r in a} == {(r["node"], r["rank_s"]) for r in b}
+
+
+def test_triangle_count_vs_bruteforce(spark, edges_df):
+    row = triangle_count(edges_df).collect()[0]
+    und = {(min(a, b), max(a, b)) for a, b in EDGES}
+    nodes = sorted({u for e in und for u in e})
+    brute = sum(
+        1
+        for a, b, c in itertools.combinations(nodes, 3)
+        if (a, b) in und and (b, c) in und and (a, c) in und
+    )
+    assert row["n_triangles"] == brute
+    assert row["n_edges"] == len(und)
+    assert row["n_nodes"] == len(nodes)
+
+
+def test_degree_stats_and_two_hop(spark, edges_df):
+    degs = {r["node"]: (r["out_deg"], r["in_deg"]) for r in degree_stats(edges_df).collect()}
+    out_w, in_w = {}, {}
+    for u, v in set(EDGES):
+        out_w[u] = out_w.get(u, 0) + 1
+        in_w[v] = in_w.get(v, 0) + 1
+    for v in degs:
+        assert degs[v] == (out_w.get(v, 0), in_w.get(v, 0))
+
+    top = two_hop_reach(edges_df, top=10).collect()
+    adj = {}
+    for u, v in set(EDGES):
+        adj.setdefault(u, set()).add(v)
+    want = {}
+    for u in adj:
+        reach = set(adj[u])
+        for m in adj[u]:
+            reach |= adj.get(m, set())
+        reach.discard(u)
+        want[u] = len(reach)
+    expect = sorted(want.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    assert [(r["node"], r["reach2"]) for r in top] == expect
+
+
+def test_graph_ops_over_pipeline_edges(spark, corpus50):
+    """The target consumer: PageRank + triangles over the edges the KG
+    pipeline actually materializes (subj/obj string endpoints)."""
+    from theta_spark.config import PipelineConfig
+    from theta_spark.pipeline import build_nodes_edges, extract_mentions_df, extract_triples
+
+    cfg = PipelineConfig()
+    mentions = extract_mentions_df(corpus50, cfg)
+    triples = extract_triples(corpus50, cfg)
+    _nodes, edges, _prov = build_nodes_edges(triples, mentions, cfg)
+    g = edges.select(F.col("subj").alias("src"), F.col("obj").alias("dst"))
+    pr = pagerank(g, iters=2).collect()
+    assert len(pr) > 0
+    assert sum(r["rank_s"] for r in pr) <= SCALE
+    tri = triangle_count(g).collect()[0]
+    assert tri["n_edges"] == undirected_edges(g).count()
+    assert tri["n_triangles"] >= 0

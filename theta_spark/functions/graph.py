@@ -1,0 +1,216 @@
+"""Graph analytics over the materialized KG edge table.
+
+The pipeline ends at partitioned node/edge tables (pipeline.py:110-166);
+these operators are the downstream consumers a KG user runs next: degree
+profiles, fixed-iteration PageRank, triangle counting, k-hop reach. All
+are pure DataFrame plans (no UDFs, no driver-side loops over rows).
+
+Scale notes (100 TB / 10^9-node targets):
+- PageRank is the classic iterative equi-join: ranks ⨝ edges on src,
+  groupBy dst. Skewed head entities are exactly the north rule's concern;
+  the join keys are the edge endpoints, so AQE skew-join splitting
+  applies, and the per-iteration dangling mass is a 1-row aggregate
+  broadcast back (no collect per iteration — the loop builds one lazy
+  plan, O(iters) shuffles total).
+- Arithmetic is **integer fixed-point** (rank mass scaled by 10^12,
+  i64). Integer sums are associative, so the result is bit-identical
+  under any partitioning / AQE re-plan — the same trick the k-means
+  codebook uses (similarity.py: rounded means). A float PageRank would
+  drift in the last ulps per partition order and be un-oracle-able.
+- Triangle counting orients each undirected edge from its (degree, id)-
+  smaller endpoint to the larger, the standard skew bound: every node's
+  oriented out-degree is O(sqrt(|E|)), so the wedge join cannot blow up
+  on a hub node the way the naive a<b<c join does.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+SCALE = 10**12
+
+
+def degree_stats(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """(node, out_deg, in_deg) over the distinct directed edge set.
+
+    One groupBy per direction over distinct pairs, full-outer joined —
+    two shuffles on node id, no skew issue beyond what AQE handles.
+    """
+    e = edges.select(src, dst).distinct()
+    outd = e.groupBy(F.col(src).alias("node")).agg(F.count(F.lit(1)).alias("out_deg"))
+    ind = e.groupBy(F.col(dst).alias("node")).agg(F.count(F.lit(1)).alias("in_deg"))
+    return (
+        outd.join(ind, "node", "full_outer")
+        .select(
+            "node",
+            F.coalesce("out_deg", F.lit(0)).cast("long").alias("out_deg"),
+            F.coalesce("in_deg", F.lit(0)).cast("long").alias("in_deg"),
+        )
+    )
+
+
+def graph_nodes(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """Distinct endpoint set as a single `node` column."""
+    return (
+        edges.select(F.col(src).alias("node"))
+        .unionByName(edges.select(F.col(dst).alias("node")))
+        .distinct()
+    )
+
+
+def pagerank(
+    edges: DataFrame,
+    iters: int = 4,
+    damping_pct: int = 85,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Fixed-iteration PageRank in i64 fixed-point → (node, rank_s, rank).
+
+    Update rule per iteration (all-integer, exact):
+        contrib(e)  = r(src) // out_deg(src)          per distinct edge
+        S(v)        = Σ contrib over in-edges of v     (exact i64 sum)
+        D           = Σ r over dangling nodes          (1-row agg, broadcast)
+        r'(v)       = ((100-d) * (SCALE//N)) // 100
+                      + (d * (S(v) + D//N)) // 100
+    which is the standard r' = (1-α)/N + α(S + D/N) with mass scaled by
+    SCALE=10^12. `rank` is rank_s/SCALE as double for human consumption;
+    `rank_s` is the exact invariant the oracle matches. Total mass stays
+    ≤ SCALE (floor-division leaks stay in the floors, never duplicate).
+
+    The loop below builds ONE lazy plan of depth `iters` (no action per
+    iteration); keep `iters` small (≤ ~8) or localCheckpoint between
+    rounds at cluster scale to cap lineage depth.
+    """
+    e = edges.select(src, dst).distinct().localCheckpoint(eager=False)
+    nodes = graph_nodes(e, src, dst).localCheckpoint(eager=False)
+    n_nodes = nodes.count()  # one scalar job up front; O(1) driver traffic
+    base = SCALE // n_nodes
+    outd = e.groupBy(F.col(src).alias("node")).agg(F.count(F.lit(1)).alias("out_deg"))
+    # node table annotated once with out_deg (0 = dangling)
+    ndeg = nodes.join(outd, "node", "left").select(
+        "node", F.coalesce("out_deg", F.lit(0)).cast("long").alias("out_deg")
+    ).localCheckpoint(eager=False)
+
+    ranks = ndeg.select("node", "out_deg", F.lit(base).cast("long").alias("r"))
+    teleport = ((100 - damping_pct) * base) // 100
+    for _ in range(iters):
+        # `div` is Spark's exact integral division — a double `/` +
+        # cast(long) can truncate one off near quotient boundaries, which
+        # would break bit-equality with the integer-arithmetic oracle
+        contrib = (
+            e.join(ranks.filter(F.col("out_deg") > 0), e[src] == F.col("node"))
+            .select(F.col(dst).alias("node"), F.expr("r div out_deg").alias("c"))
+            .groupBy("node")
+            .agg(F.sum("c").alias("s"))
+        )
+        # dangling mass: 1-row aggregate, broadcast into every row — stays
+        # in the plan, no per-iteration driver action
+        dang = ranks.filter(F.col("out_deg") == 0).agg(
+            F.coalesce(F.sum("r"), F.lit(0)).cast("long").alias("dm")
+        )
+        ranks = (
+            ndeg.join(contrib, "node", "left")
+            .crossJoin(F.broadcast(dang))
+            .select(
+                "node",
+                "out_deg",
+                F.expr(
+                    f"CAST({teleport} + (({damping_pct} * (coalesce(s, 0)"
+                    f" + (dm div {n_nodes}))) div 100) AS BIGINT)"
+                ).alias("r"),
+            )
+        )
+    return ranks.select(
+        "node",
+        F.col("r").alias("rank_s"),
+        (F.col("r") / F.lit(float(SCALE))).alias("rank"),
+    )
+
+
+def undirected_edges(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """Distinct undirected edge set as (a, b) with a < b, self-loops dropped."""
+    e = edges.select(
+        F.least(src, dst).alias("a"), F.greatest(src, dst).alias("b")
+    ).filter(F.col("a") != F.col("b"))
+    return e.distinct()
+
+
+def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """1-row (n_nodes, n_edges, n_triangles) over the undirected graph.
+
+    Degree-ordered orientation: each undirected edge points from its
+    (degree, id)-smaller endpoint to the larger one, so oriented
+    out-degree is O(sqrt(|E|)) per node and the wedge self-join is
+    skew-bounded even around hub entities. The count is identical to the
+    naive a<b<c enumeration (each triangle has exactly one vertex from
+    which both others are oriented-reachable).
+    """
+    und = undirected_edges(edges, src, dst).localCheckpoint(eager=False)
+    deg = (
+        und.select(F.col("a").alias("node"))
+        .unionByName(und.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    da = deg.select(F.col("node").alias("a"), F.col("deg").alias("deg_a"))
+    db = deg.select(F.col("node").alias("b"), F.col("deg").alias("deg_b"))
+    # orient low → high by (deg, id); "u" is the smaller endpoint
+    oriented = (
+        und.join(da, "a").join(db, "b")
+        .select(
+            F.when(
+                (F.col("deg_a") < F.col("deg_b"))
+                | ((F.col("deg_a") == F.col("deg_b")) & (F.col("a") < F.col("b"))),
+                F.struct(F.col("a").alias("u"), F.col("b").alias("v")),
+            )
+            .otherwise(F.struct(F.col("b").alias("u"), F.col("a").alias("v")))
+            .alias("e")
+        )
+        .select("e.u", "e.v")
+        .localCheckpoint(eager=False)
+    )
+    e1 = oriented.select(F.col("u"), F.col("v").alias("v1"))
+    e2 = oriented.select(F.col("u"), F.col("v").alias("v2"))
+    wedges = e1.join(e2, "u").filter(F.col("v1") < F.col("v2"))
+    closing = und.select(F.col("a").alias("w1"), F.col("b").alias("w2"))
+    tris = wedges.join(
+        closing,
+        (
+            (F.least("v1", "v2") == F.col("w1"))
+            & (F.greatest("v1", "v2") == F.col("w2"))
+        ),
+    )
+    n_nodes = deg.agg(F.count(F.lit(1)).alias("n")).select(F.col("n"))
+    n_edges = und.agg(F.count(F.lit(1)).alias("n")).select(F.col("n"))
+    n_tris = tris.agg(F.count(F.lit(1)).alias("n")).select(F.col("n"))
+    return (
+        n_nodes.select(F.col("n").alias("n_nodes"))
+        .crossJoin(n_edges.select(F.col("n").alias("n_edges")))
+        .crossJoin(n_tris.select(F.col("n").alias("n_triangles")))
+    )
+
+
+def two_hop_reach(
+    edges: DataFrame, top: int = 30, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """(node, reach2) — distinct nodes reachable in ≤2 directed hops
+    (self excluded), top-N by (reach desc, node asc) for a bounded result.
+
+    Two equi-joins + one distinct; the mid-node join is where hub skew
+    lives, handled by AQE skew splitting at scale (the alternative,
+    pre-aggregating neighbor sets per node, explodes memory on hubs).
+    """
+    e = edges.select(src, dst).distinct()
+    one = e.select(F.col(src).alias("node"), F.col(dst).alias("reach"))
+    mid = e.select(F.col(src).alias("m"), F.col(dst).alias("reach"))
+    two = one.select(F.col("node"), F.col("reach").alias("m")).join(mid, "m").select("node", "reach")
+    reach = (
+        one.unionByName(two)
+        .filter(F.col("node") != F.col("reach"))
+        .distinct()
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("reach2"))
+    )
+    return reach.orderBy(F.desc("reach2"), F.asc("node")).limit(top)

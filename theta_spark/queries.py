@@ -1576,3 +1576,145 @@ def sim_ivf_kmeans_topk(spark, sf_dir):
     with_cells = e.join(assign, on="vec_id")
     qs = with_cells.filter(F.col("vec_id") % 25 == 0)
     return ivf_topk(with_cells, qs, k=5, cell_col="cell").orderBy("query_id", "rk")
+
+
+# ===================================================================
+# Graph analytics over the materialized KG (functions/graph.py)
+# ===================================================================
+# The KG pipeline ends at node/edge tables; these are the queries a KG
+# user runs next. The driver graph derives deterministically from
+# lineitem (2000 nodes, ~23k directed edges, 98 dangling, ~26k
+# triangles at sf0.01) so DuckDB can rebuild it exactly; pytest runs the
+# same operators over the real pipeline edge table.
+
+_GRAPH_SQL_CTE = """ge AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT l_suppkey AS src, l_partkey % 2000 AS dst FROM lineitem WHERE l_quantity > 35
+    UNION ALL
+    SELECT l_partkey % 2000 AS src, l_suppkey AS dst FROM lineitem WHERE l_quantity <= 5
+  ) WHERE src <> dst
+)"""
+
+
+def _graph_edges(spark, sf_dir):
+    li = _load(spark, sf_dir, "lineitem")
+    fwd = li.filter(F.col("l_quantity") > 35).select(
+        F.col("l_suppkey").alias("src"), F.expr("l_partkey % 2000").alias("dst")
+    )
+    rev = li.filter(F.col("l_quantity") <= 5).select(
+        F.expr("l_partkey % 2000").alias("src"), F.col("l_suppkey").alias("dst")
+    )
+    return fwd.unionByName(rev).filter(F.col("src") != F.col("dst")).distinct()
+
+
+def _pagerank_oracle_sql(iters: int = 4, damping: int = 85, scale: int = 10**12) -> str:
+    parts = [
+        "WITH " + _GRAPH_SQL_CTE,
+        f"""nodes AS (SELECT src AS node FROM ge UNION SELECT dst FROM ge),
+params AS (SELECT COUNT(*)::BIGINT AS nn, ({scale} // COUNT(*))::BIGINT AS base FROM nodes),
+outd AS (SELECT src AS node, COUNT(*)::BIGINT AS out_deg FROM ge GROUP BY src),
+ndeg AS (SELECT n.node, COALESCE(o.out_deg, 0)::BIGINT AS out_deg
+         FROM nodes n LEFT JOIN outd o ON n.node = o.node),
+r0 AS (SELECT node, out_deg, (SELECT base FROM params) AS r FROM ndeg)""",
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f"""c{i} AS (
+  SELECT e.dst AS node, SUM(r.r // r.out_deg)::BIGINT AS s
+  FROM ge e JOIN r{i - 1} r ON e.src = r.node WHERE r.out_deg > 0 GROUP BY e.dst
+),
+d{i} AS (SELECT COALESCE(SUM(r), 0)::BIGINT AS dm FROM r{i - 1} WHERE out_deg = 0),
+r{i} AS (
+  SELECT n.node, n.out_deg,
+    CAST((((100 - {damping}) * p.base) // 100)
+         + (({damping} * (COALESCE(c.s, 0) + (d.dm // p.nn))) // 100) AS BIGINT) AS r
+  FROM ndeg n LEFT JOIN c{i} c ON n.node = c.node CROSS JOIN d{i} d CROSS JOIN params p
+)"""
+        )
+    return (
+        ",\n".join(parts)
+        + f"\nSELECT node, r AS rank_s, r / {float(scale)} AS rank FROM r{iters} ORDER BY node"
+    )
+
+
+@query(
+    "gr_degree_stats",
+    f"""
+    WITH {_GRAPH_SQL_CTE},
+    outd AS (SELECT src AS node, COUNT(*) AS out_deg FROM ge GROUP BY src),
+    ind AS (SELECT dst AS node, COUNT(*) AS in_deg FROM ge GROUP BY dst)
+    SELECT COALESCE(o.node, i.node) AS node,
+           COALESCE(o.out_deg, 0)::BIGINT AS out_deg,
+           COALESCE(i.in_deg, 0)::BIGINT AS in_deg
+    FROM outd o FULL OUTER JOIN ind i ON o.node = i.node ORDER BY node
+    """,
+)
+def gr_degree_stats(spark, sf_dir):
+    """Degree profile of the KG edge table: one groupBy per direction
+    over distinct pairs, full-outer joined (functions/graph.py)."""
+    from theta_spark.functions.graph import degree_stats
+
+    return degree_stats(_graph_edges(spark, sf_dir)).orderBy("node")
+
+
+@query("gr_pagerank", _pagerank_oracle_sql(iters=4))
+def gr_pagerank(spark, sf_dir):
+    """Fixed-iteration PageRank in i64 fixed-point (functions/graph.py):
+    rank mass scaled by 10^12, contributions via exact integral `div`,
+    per-iteration dangling mass as a broadcast 1-row aggregate. Integer
+    sums are associative, so the result is bit-identical under any
+    partitioning/AQE re-plan — the oracle unrolls the same four
+    iterations in SQL and hash-matches rank_s exactly."""
+    from theta_spark.functions.graph import pagerank
+
+    return pagerank(_graph_edges(spark, sf_dir), iters=4).orderBy("node")
+
+
+@query(
+    "gr_triangles",
+    f"""
+    WITH {_GRAPH_SQL_CTE},
+    und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b FROM ge),
+    nn AS (SELECT COUNT(*) AS n_nodes FROM (SELECT a AS x FROM und UNION SELECT b FROM und)),
+    ne AS (SELECT COUNT(*) AS n_edges FROM und),
+    nt AS (
+      SELECT COUNT(*) AS n_triangles
+      FROM und e1 JOIN und e2 ON e1.a = e2.a AND e1.b < e2.b
+      JOIN und e3 ON e3.a = e1.b AND e3.b = e2.b
+    )
+    SELECT n_nodes, n_edges, n_triangles FROM nn CROSS JOIN ne CROSS JOIN nt
+    """,
+)
+def gr_triangles(spark, sf_dir):
+    """Triangle count with degree-ordered orientation (functions/graph.py):
+    each undirected edge points from its (degree, id)-smaller endpoint, so
+    oriented out-degree is O(sqrt(E)) and the wedge join is skew-bounded
+    around hub entities; the count equals the naive a<b<c enumeration the
+    oracle runs."""
+    from theta_spark.functions.graph import triangle_count
+
+    return triangle_count(_graph_edges(spark, sf_dir))
+
+
+@query(
+    "gr_two_hop",
+    f"""
+    WITH {_GRAPH_SQL_CTE},
+    one AS (SELECT src AS node, dst AS reach FROM ge),
+    two AS (SELECT o.node, m.dst AS reach FROM one o JOIN ge m ON o.reach = m.src),
+    reach AS (
+      SELECT node, COUNT(*) AS reach2 FROM (
+        SELECT DISTINCT node, reach FROM (SELECT * FROM one UNION ALL SELECT * FROM two)
+        WHERE node <> reach
+      ) GROUP BY node
+    )
+    SELECT node, reach2 FROM reach ORDER BY reach2 DESC, node LIMIT 30
+    """,
+)
+def gr_two_hop(spark, sf_dir):
+    """Top-30 nodes by distinct <=2-hop reach: two equi-joins + distinct;
+    hub skew in the mid-node join is AQE-split at scale
+    (functions/graph.py two_hop_reach)."""
+    from theta_spark.functions.graph import two_hop_reach
+
+    return two_hop_reach(_graph_edges(spark, sf_dir), top=30)
