@@ -1,0 +1,91 @@
+"""Incremental pipeline (pipeline.run_pipeline_incremental): only new/
+changed docs are re-scored (delta by the doc_id+sha256 invariant), prior
+rows are reused for byte-identical docs, and the merged outputs equal a
+full recompute over the new corpus exactly."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from theta_spark.corpus import CORPUS_SCHEMA, corpus_rows, generate_corpus
+from theta_spark.pipeline import run_pipeline, run_pipeline_incremental
+
+
+def _rowset(df, cols):
+    return {tuple(r) for r in df.select(*cols).collect()}
+
+
+@pytest.fixture(scope="module")
+def v1_v2(spark):
+    docs = generate_corpus(68, seed=42)
+    v1 = corpus_rows(docs[:60])
+    v2 = []
+    for i, row in enumerate(v1):
+        if i % 13 == 0:
+            continue  # deleted in v2
+        if i % 7 == 0:  # changed content, same repo/path/commit -> same doc_id
+            repo, path, commit, lang, content = row
+            row = (repo, path, commit, lang, content + "\n# trailing edit\n")
+        v2.append(row)
+    v2.extend(corpus_rows(docs[60:]))  # 8 brand-new docs
+    c1 = spark.createDataFrame(v1, CORPUS_SCHEMA).repartition(4)
+    c2 = spark.createDataFrame(v2, CORPUS_SCHEMA).repartition(4)
+    return c1, c2
+
+
+def test_incremental_equals_full_recompute(spark, v1_v2, tmp_path_factory):
+    c1, c2 = v1_v2
+    w1 = str(tmp_path_factory.mktemp("inc_v1"))
+    w2i = str(tmp_path_factory.mktemp("inc_v2_incr"))
+    w2f = str(tmp_path_factory.mktemp("inc_v2_full"))
+
+    run_pipeline(spark, c1, w1)
+    inc = run_pipeline_incremental(spark, c2, w2i, prior_workdir=w1)
+    full = run_pipeline(spark, c2, w2f)
+
+    for stage, cols in [
+        ("mentions", ["doc_id", "sha256", "category", "start", "end", "mention"]),
+        ("triples", ["subj", "pred", "obj", "doc_id", "sha256"]),
+        ("edges", ["subj", "pred", "obj", "n_docs"]),
+        ("nodes", ["canonical", "category", "n_mentions"]),
+    ]:
+        assert _rowset(inc[stage], cols) == _rowset(full[stage], cols), stage
+
+    # delta accounting: changed (i%7==0 minus those also deleted) + 8 new
+    changed = sum(1 for i in range(60) if i % 7 == 0 and i % 13 != 0)
+    deleted = sum(1 for i in range(60) if i % 13 == 0)
+    stats = inc["delta_stats"].collect()[0]
+    assert stats["n_extracted"] == changed + 8
+    assert stats["n_retired"] == changed + deleted
+    assert stats["n_docs"] == 60 - deleted + 8
+
+
+def test_incremental_resume_reads_snapshots(spark, v1_v2, tmp_path_factory):
+    """A resumed incremental run must trust its snapshots, not recompute:
+    point prior_workdir at a bogus path — resume never touches it."""
+    c1, c2 = v1_v2
+    w1 = str(tmp_path_factory.mktemp("inc_r_v1"))
+    w2 = str(tmp_path_factory.mktemp("inc_r_v2"))
+    run_pipeline(spark, c1, w1)
+    first = run_pipeline_incremental(spark, c2, w2, prior_workdir=w1)
+    n = first["triples"].count()
+    resumed = run_pipeline_incremental(
+        spark, c2, w2, prior_workdir="/nonexistent/prior"
+    )
+    assert resumed["triples"].count() == n
+
+
+def test_unchanged_corpus_extracts_nothing(spark, v1_v2, tmp_path_factory):
+    c1, _ = v1_v2
+    w1 = str(tmp_path_factory.mktemp("inc_same_v1"))
+    w2 = str(tmp_path_factory.mktemp("inc_same_v2"))
+    run_pipeline(spark, c1, w1)
+    inc = run_pipeline_incremental(spark, c1, w2, prior_workdir=w1)
+    stats = inc["delta_stats"].collect()[0]
+    assert stats["n_extracted"] == 0
+    assert stats["n_retired"] == 0
+    assert _rowset(inc["triples"], ["subj", "pred", "obj", "doc_id"]) == _rowset(
+        run_pipeline(spark, c1, str(tmp_path_factory.mktemp("inc_same_f")))["triples"],
+        ["subj", "pred", "obj", "doc_id"],
+    )

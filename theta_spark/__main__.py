@@ -36,6 +36,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--workdir", required=True, help="stage snapshot root (parquet + per-stage manifests)")
     p.add_argument("--resume", action="store_true", help="reuse completed stage snapshots found in --workdir")
     p.add_argument(
+        "--incremental-from", metavar="PRIOR_WORKDIR", default=None,
+        help="prior run's workdir: re-score only new/changed docs (by doc_id+sha256), reuse prior mention/triple rows for byte-identical docs, rebuild the graph layer from the merge",
+    )
+    p.add_argument(
         "--scorer", default="rule",
         help="'rule', 'mlp', or a path to .npz weights saved by sources.registry.save_model (checkpoint inference)",
     )
@@ -54,7 +58,7 @@ def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
 
     from theta_spark.config import PipelineConfig
-    from theta_spark.pipeline import run_pipeline, stage_complete
+    from theta_spark.pipeline import run_pipeline, run_pipeline_incremental, stage_complete
     from theta_spark.session import get_spark
 
     spark = get_spark(app_name="theta-spark-kg", master=args.master)
@@ -72,7 +76,12 @@ def main(argv=None) -> int:
 
         corpus = read_table(spark, args.input)
 
-    stages = run_pipeline(spark, corpus, args.workdir, cfg, resume=args.resume)
+    if args.incremental_from:
+        stages = run_pipeline_incremental(
+            spark, corpus, args.workdir, args.incremental_from, cfg, resume=args.resume
+        )
+    else:
+        stages = run_pipeline(spark, corpus, args.workdir, cfg, resume=args.resume)
 
     import os
 

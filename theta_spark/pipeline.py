@@ -282,6 +282,129 @@ def audit_stage(spark: SparkSession, workdir: str, stage: str) -> DataFrame:
     )
 
 
+def corpus_delta(docs: DataFrame, prior_stage: DataFrame):
+    """Split a keyed corpus against a prior stage snapshot by the
+    (doc_id, sha256) content invariant.
+
+    Returns (reused_rows, delta_docs):
+    - reused_rows: prior-stage rows whose document is byte-identical in
+      the new corpus (same doc_id AND same sha256) — safe to carry over
+      without recomputation;
+    - delta_docs: new-corpus docs that are new or changed (no prior row
+      with the same doc_id+sha256) — the only docs that need re-scoring.
+    Docs deleted from the corpus fall out of both sides.
+
+    Both joins are key-only (two narrow string columns) left_semi/
+    left_anti hash joins — at 10^12-file scale the delta detection costs
+    one shuffle of (doc_id, sha256) pairs, nothing proportional to
+    content size, and the expensive Arrow scoring stage runs ONLY on the
+    delta (the whole point: a daily commit touches a fraction of files).
+    """
+    keys = docs.select("doc_id", "sha256")
+    prior_keys = prior_stage.select("doc_id", "sha256").distinct()
+    reused = prior_stage.join(keys.distinct(), ["doc_id", "sha256"], "left_semi")
+    delta_docs = docs.join(prior_keys, ["doc_id", "sha256"], "left_anti")
+    return reused, delta_docs
+
+
+def run_pipeline_incremental(
+    spark: SparkSession,
+    corpus: DataFrame,
+    workdir: str,
+    prior_workdir: str,
+    cfg: PipelineConfig | None = None,
+    resume: bool = True,
+):
+    """Incremental run against a prior run's snapshots: re-score ONLY
+    new/changed documents (by the doc_id+sha256 invariant), reuse prior
+    mentions/triples rows for byte-identical docs, then rebuild the graph
+    layer from the merged streams.
+
+    Canonicalization and the node/edge aggregates are recomputed over the
+    MERGED data by design: entity resolution is corpus-global (one new
+    mention can merge two existing clusters), but it runs over distinct
+    entity NAMES — orders of magnitude smaller than the corpus — while
+    the corpus-proportional cost (segment + score + decode) is paid only
+    for the delta. Output snapshots land in `workdir` with the same
+    stage layout as run_pipeline, so a later incremental run can chain
+    off this one; the extra `delta_stats` stage records what was reused.
+    """
+    cfg = cfg or PipelineConfig()
+    docs = with_doc_id(corpus)
+
+    def _delta_corpus(prior_stage: DataFrame):
+        reused, delta_docs = corpus_delta(docs, prior_stage)
+        delta = delta_docs.select(
+            "repo", "path", "commit", "lang", F.col("text").alias("content")
+        )
+        return reused, delta
+
+    def _build_mentions():
+        reused, delta = _delta_corpus(read_stage(spark, prior_workdir, "mentions"))
+        return extract_mentions_df(delta, cfg).unionByName(reused)
+
+    mentions = run_checkpointed(spark, workdir, "mentions", _build_mentions, resume=resume)
+
+    def _build_triples():
+        reused, delta = _delta_corpus(read_stage(spark, prior_workdir, "triples"))
+        return extract_triples(delta, cfg).unionByName(reused)
+
+    triples = run_checkpointed(spark, workdir, "triples", _build_triples, resume=resume)
+
+    def _build_delta_stats():
+        prior_docs = read_stage(spark, prior_workdir, "mentions").select("doc_id", "sha256").distinct()
+        keys = docs.select("doc_id", "sha256")
+        return spark.createDataFrame(
+            [
+                (
+                    keys.count(),
+                    keys.join(prior_docs, ["doc_id", "sha256"], "left_anti").count(),
+                    prior_docs.join(keys, ["doc_id", "sha256"], "left_anti").count(),
+                )
+            ],
+            "n_docs long, n_extracted long, n_retired long",
+        )
+
+    delta_stats = run_checkpointed(spark, workdir, "delta_stats", _build_delta_stats, resume=resume)
+
+    nodes_edges = {}
+
+    def _build_nodes():
+        n, e, t = build_nodes_edges(triples, mentions, cfg)
+        nodes_edges["prov"] = t
+        return n
+
+    nodes = run_checkpointed(
+        spark, workdir, "nodes", _build_nodes, partition_cols=["category"], resume=resume
+    )
+
+    def _build_prov():
+        if "prov" not in nodes_edges:
+            nodes_edges["prov"] = build_nodes_edges(triples, mentions, cfg)[2]
+        return nodes_edges["prov"]
+
+    edge_provenance = run_checkpointed(
+        spark, workdir, "edge_provenance", _build_prov, partition_cols=["pred"], resume=resume
+    )
+
+    def _build_edges():
+        return edge_provenance.groupBy("subj", "pred", "obj").agg(
+            F.count(F.lit(1)).alias("n_docs")
+        )
+
+    edges = run_checkpointed(
+        spark, workdir, "edges", _build_edges, partition_cols=["pred"], resume=resume
+    )
+    return {
+        "mentions": mentions,
+        "triples": triples,
+        "nodes": nodes,
+        "edge_provenance": edge_provenance,
+        "edges": edges,
+        "delta_stats": delta_stats,
+    }
+
+
 def run_pipeline(spark: SparkSession, corpus: DataFrame, workdir: str, cfg: PipelineConfig | None = None, resume: bool = True):
     """Full checkpoint-resumable run; returns dict of stage DataFrames."""
     cfg = cfg or PipelineConfig()
