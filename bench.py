@@ -63,6 +63,9 @@ def run_bench(
 
     from theta_spark.session import get_spark
 
+    # straggler rescue for timed runs (see session.py): only genuine hangs
+    # (4x the 90th-percentile task) are re-attempted
+    os.environ.setdefault("SPARK_GRAFT_SPECULATION", "1")
     spark = get_spark(app_name=f"bench-{os.path.basename(sf_dir)}", master=f"local[{cpus}]")
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -195,6 +198,10 @@ def run_bench(
         "d1_asof_pairing",
         "dd_ngram_jaccard",
         "sim_ivf_topk",
+        # round-3 additions: iterative-join graph analytics + train-path
+        # label encoding (both oracle-checked driver queries)
+        "gr_pagerank",
+        "p6_label_encode",
     ]
     # settle between sections: force Python GC (and give the JVM
     # ContextCleaner a beat) so cleanup of the kg section's out-of-scope

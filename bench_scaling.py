@@ -53,6 +53,11 @@ def run_level(cpus: int, sf_dir: str, n_docs: int, skip_graph: bool, kg_only: bo
         env["SPARK_GRAFT_BENCH_KG_ONLY"] = "1"
     if sink_count:
         env["SPARK_GRAFT_BENCH_SINK"] = "count"
+    # straggler rescue (session.py): a wedged Python worker stalled one
+    # 64-task stage for 18+ minutes on an otherwise-idle guest; speculative
+    # re-attempt (multiplier 4) unblocks the job without touching honest
+    # timings
+    env["SPARK_GRAFT_SPECULATION"] = "1"
     hz = os.sysconf("SC_CLK_TCK")
     b0, s0, t0 = _proc_stat()
     wall0 = time.time()

@@ -1363,6 +1363,40 @@ def st_window_counts(spark, sf_dir):
 
 
 # ------------------------------------------------------------------- P6
+def _word_span_tags(d):
+    """Deterministic, conflict-free gold tag set over a (doc_id, text)
+    table: every word of length >= 6 as a single-token span with category
+    (len % 6) + 1; every (5-letter, 3-letter) adjacent word pair as a
+    two-token span with category 2. Shared by p6_label_encode and the
+    NER EDA query; both oracles rebuild the same derivation in SQL."""
+    win = Window.partitionBy("doc_id").orderBy("pos")
+    words = (
+        d.select("doc_id", F.posexplode(F.split("text", " ")).alias("pos", "w"))
+        .withColumn(
+            "start",
+            F.coalesce(
+                F.sum(F.length("w") + 1).over(win.rowsBetween(Window.unboundedPreceding, -1)),
+                F.lit(0),
+            ).cast("long"),
+        )
+        .withColumn("next_w", F.lead("w").over(win))
+        .withColumn("next_start", F.lead("start").over(win))
+    )
+    singles = words.filter(F.length("w") >= 6).select(
+        "doc_id",
+        (F.length("w") % 6 + 1).cast("int").alias("category_id"),
+        "start",
+        (F.col("start") + F.length("w") - 1).alias("end"),
+    )
+    pairs = words.filter((F.length("w") == 5) & (F.length("next_w") == 3)).select(
+        "doc_id",
+        F.lit(2).cast("int").alias("category_id"),
+        "start",
+        (F.col("next_start") + 2).alias("end"),
+    )
+    return singles.unionByName(pairs)
+
+
 @query(
     "p6_label_encode",
     r"""
@@ -1445,33 +1479,7 @@ def p6_label_encode(spark, sf_dir):
     from theta_spark.operators.segmentation import segment
 
     d = _load(spark, sf_dir, "documents").select("doc_id", "text")
-    win = Window.partitionBy("doc_id").orderBy("pos")
-    words = (
-        d.select("doc_id", F.posexplode(F.split("text", " ")).alias("pos", "w"))
-        .withColumn(
-            "start",
-            F.coalesce(
-                F.sum(F.length("w") + 1).over(win.rowsBetween(Window.unboundedPreceding, -1)),
-                F.lit(0),
-            ).cast("long"),
-        )
-        .withColumn("next_w", F.lead("w").over(win))
-        .withColumn("next_start", F.lead("start").over(win))
-    )
-    singles = words.filter(F.length("w") >= 6).select(
-        "doc_id",
-        (F.length("w") % 6 + 1).cast("int").alias("category_id"),
-        "start",
-        (F.col("start") + F.length("w") - 1).alias("end"),
-    )
-    pairs = words.filter((F.length("w") == 5) & (F.length("next_w") == 3)).select(
-        "doc_id",
-        F.lit(2).cast("int").alias("category_id"),
-        "start",
-        (F.col("next_start") + 2).alias("end"),
-    )
-    tags = singles.unionByName(pairs)
-    enc = encode_labels(segment(d, "text", 126, 63), tags)
+    enc = encode_labels(segment(d, "text", 126, 63), _word_span_tags(d))
     return (
         enc.select(
             "doc_id", "seg_id",
@@ -1718,3 +1726,158 @@ def gr_two_hop(spark, sf_dir):
     from theta_spark.functions.graph import two_hop_reach
 
     return two_hop_reach(_graph_edges(spark, sf_dir), top=30)
+
+
+# ===================================================================
+# A7 EDA breadth: the reference's NER and glue EDA paths
+# ===================================================================
+
+@query(
+    "a7_eda_ner",
+    r"""
+    WITH ws AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ), words AS (
+      SELECT doc_id, wo['pos'] AS pos, wo['w'] AS w, wo['start'] AS start
+      FROM (
+        SELECT doc_id, unnest(list_transform(range(1, len(w) + 1), i -> {
+          'pos': i - 1, 'w': w[i],
+          'start': CASE WHEN i = 1 THEN 0
+                        ELSE list_sum(list_transform(w[1:i-1], x -> len(x) + 1)) END
+        })) AS wo
+        FROM ws
+      )
+    ), wn AS (
+      SELECT doc_id, w, start, start + len(w) - 1 AS fin,
+             LEAD(w) OVER (PARTITION BY doc_id ORDER BY pos) AS next_w,
+             LEAD(start) OVER (PARTITION BY doc_id ORDER BY pos) AS next_start
+      FROM words
+    ), tags AS (
+      SELECT doc_id, CAST(len(w) % 6 + 1 AS INT) AS category_id, start, fin
+      FROM wn WHERE len(w) >= 6
+      UNION ALL
+      SELECT doc_id, 2, start, next_start + 2
+      FROM wn WHERE len(w) = 5 AND len(next_w) = 3
+    )
+    SELECT category_id,
+           COUNT(*) AS n_tags,
+           COUNT(DISTINCT doc_id) AS n_docs,
+           ROUND(AVG(fin - start + 1), 4) AS len_mean,
+           ROUND(stddev_pop(fin - start + 1), 4) AS len_std,
+           MIN(fin - start + 1) AS len_min,
+           MAX(fin - start + 1) AS len_max
+    FROM tags GROUP BY category_id ORDER BY category_id
+    """,
+)
+def a7_eda_ner(spark, sf_dir):
+    """A7, NER path (theta/nlp/eda/__main__.py:79-103): label set, tag
+    distribution, span-length mean/std/min/max per category — the
+    reference's driver-side numpy loops as one groupBy over the same
+    deterministic tag derivation p6_label_encode trains on."""
+    d = _load(spark, sf_dir, "documents").select("doc_id", "text")
+    span_len = F.col("end") - F.col("start") + 1
+    return (
+        _word_span_tags(d)
+        .groupBy("category_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tags"),
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.round(F.avg(span_len), 4).alias("len_mean"),
+            F.round(F.stddev_pop(span_len), 4).alias("len_std"),
+            F.min(span_len).alias("len_min"),
+            F.max(span_len).alias("len_max"),
+        )
+        .orderBy("category_id")
+    )
+
+
+@query(
+    "a7_eda_glue",
+    r"""
+    WITH scored AS (
+      SELECT doc_id, text, lang,
+             CAST(list_position(scores, list_max(scores)) - 1 AS INT) AS label
+      FROM (
+        SELECT doc_id, text, lang,
+               [('0x' || substr(md5('0#' || text), 1, 16))::UBIGINT,
+                ('0x' || substr(md5('1#' || text), 1, 16))::UBIGINT,
+                ('0x' || substr(md5('2#' || text), 1, 16))::UBIGINT,
+                ('0x' || substr(md5('3#' || text), 1, 16))::UBIGINT] AS scores
+        FROM documents
+      )
+    )
+    SELECT label,
+           COUNT(*) AS n_samples,
+           ROUND(AVG(len(text)), 4) AS a_mean,
+           ROUND(stddev_pop(len(text)), 4) AS a_std,
+           MIN(len(text)) AS a_min,
+           MAX(len(text)) AS a_max,
+           ROUND(AVG(len(lang)), 4) AS b_mean,
+           MIN(len(lang)) AS b_min,
+           MAX(len(lang)) AS b_max
+    FROM scored GROUP BY label ORDER BY label
+    """,
+)
+def a7_eda_glue(spark, sf_dir):
+    """A7, glue path (theta/nlp/eda/__main__.py:40-77): label
+    distribution plus text_a/text_b length mean/std/min/max per class —
+    over the same deterministic classifier m6_classify exercises
+    (text_a = text, text_b = lang)."""
+    from theta_spark.operators.classify import classify_docs
+
+    d = _load(spark, sf_dir, "documents")
+    labels = classify_docs(d, num_labels=4, id_col="doc_id", text_col="text").withColumnRenamed(
+        "id", "doc_id"
+    )
+    j = d.join(labels.select("doc_id", F.col("pred_label").alias("label")), "doc_id")
+    ta, tb = F.length("text"), F.length("lang")
+    return (
+        j.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_samples"),
+            F.round(F.avg(ta), 4).alias("a_mean"),
+            F.round(F.stddev_pop(ta), 4).alias("a_std"),
+            F.min(ta).alias("a_min"),
+            F.max(ta).alias("a_max"),
+            F.round(F.avg(tb), 4).alias("b_mean"),
+            F.min(tb).alias("b_min"),
+            F.max(tb).alias("b_max"),
+        )
+        .orderBy("label")
+    )
+
+
+@query(
+    "gr_components",
+    f"""
+    WITH RECURSIVE {_GRAPH_SQL_CTE},
+    und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b FROM ge),
+    sube AS (SELECT a, b FROM und WHERE (a + b) % 7 = 0),
+    nodes AS (SELECT src AS node FROM ge UNION SELECT dst FROM ge),
+    bidir AS (SELECT a, b FROM sube UNION SELECT b, a FROM sube),
+    walk(node, label) AS (
+      SELECT node, node FROM nodes
+      UNION
+      SELECT e.a, w.label FROM bidir e JOIN walk w ON e.b = w.node
+    )
+    SELECT node, MIN(label) AS component FROM walk GROUP BY node ORDER BY node
+    """,
+)
+def gr_components(spark, sf_dir):
+    """Weakly connected components of the KG graph via the SAME
+    alternating large-star/small-star + union-find-finisher machinery
+    canonicalization uses (canonicalize.connected_components) — proving
+    the CC operator is generic over any (a, b) edge table, not just the
+    near-dup name graph. The edge set is deterministically sparsified
+    ((a+b) % 7 = 0) so the graph splits into many non-trivial components;
+    isolated nodes keep identity labels. The oracle closes the same edges
+    transitively with a recursive CTE."""
+    from theta_spark.canonicalize import connected_components
+    from theta_spark.functions.graph import graph_nodes, undirected_edges
+
+    ge = _graph_edges(spark, sf_dir)
+    sube = undirected_edges(ge).filter((F.col("a") + F.col("b")) % 7 == 0)
+    comp = connected_components(sube, nodes=graph_nodes(ge), name_col="node")
+    return comp.select(
+        F.col("name").alias("node"), F.col("component").alias("component")
+    ).orderBy("node")

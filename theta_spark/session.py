@@ -39,6 +39,20 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
     )
+    if os.environ.get("SPARK_GRAFT_SPECULATION") == "1":
+        # straggler rescue for long timed runs: a Python worker wedged in
+        # the Arrow socket handshake (observed on this time-shared guest:
+        # one task of a 64-task stage blocked in ArrowStreamReader for 18
+        # minutes while the host sat idle) stalls the whole job without
+        # this. Multiplier 4 + quantile 0.9 means only genuine hangs are
+        # re-attempted — a mildly slow task is never duplicated, so timed
+        # benchmark numbers stay honest. Standard practice on real
+        # clusters; opt-in here because plan-shape tests count tasks.
+        builder = (
+            builder.config("spark.speculation", "true")
+            .config("spark.speculation.multiplier", "4")
+            .config("spark.speculation.quantile", "0.9")
+        )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()
