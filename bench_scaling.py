@@ -178,6 +178,17 @@ def main():
     with its control and CPU-seconds efficiency as supplementary evidence."""
     n_low = int(sys.argv[1]) if len(sys.argv) > 1 else 2
     n_docs = int(sys.argv[2]) if len(sys.argv) > 2 else 300000
+    # part B size note: the full-pipeline job carries ~29s of genuinely
+    # fixed cost (CC convergence actions, snapshot commits + lineage),
+    # identical at both levels (stage manifests, clean window: graph
+    # phase 28-30s at BOTH local[2] and local[8]) — after the round-3
+    # extraction speedup this constant caps the 200k-doc wall ratio at
+    # ~0.64 even with perfect extraction scaling (Amdahl). Scaling the
+    # job up instead (600k docs) surfaced a superlinear canonicalization
+    # cost (single-worker phase dominating e2e at both levels) — a real
+    # scale finding recorded in BENCH.md, so part B stays at 200k with
+    # the decomposition reported rather than a size chosen to flatter
+    # the ratio.
     n_docs_full = int(sys.argv[3]) if len(sys.argv) > 3 else 200000
     n_docs_wide = int(sys.argv[4]) if len(sys.argv) > 4 else 1000000
     trials = int(os.environ.get("SPARK_GRAFT_BENCH_TRIALS", "3"))
