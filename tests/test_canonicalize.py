@@ -7,7 +7,12 @@ rounds (local_threshold=0 forces the distributed path)."""
 import pytest
 from pyspark.sql import functions as F
 
-BOTH_CC_PATHS = pytest.mark.parametrize("cc_thresh", [2_000_000, 0], ids=["local-uf", "star-rounds"])
+CC_PATHS = pytest.mark.parametrize("cc_kwargs", [
+    {"local_threshold": 2_000_000},
+    {"single_task_budget": 3, "local_threshold": 1_000_000},
+    {"single_task_budget": 40, "local_threshold": 1_000_000},
+    {"local_threshold": 0},
+], ids=["local-uf", "two-level-fine", "two-level-coarse", "star-rounds"])
 
 from theta_spark.canonicalize import (
     canonicalize_names,
@@ -59,15 +64,15 @@ def test_jaccard_filter_exact(spark):
     assert len(out) == 1 and abs(out[0].jaccard - 0.5) < 1e-9
 
 
-@BOTH_CC_PATHS
-def test_connected_components_chain_and_star(spark, cc_thresh):
+@CC_PATHS
+def test_connected_components_chain_and_star(spark, cc_kwargs):
     # path a-b-c-d plus star e-{f,g}; isolated h
     edges = spark.createDataFrame(
         [("a", "b"), ("b", "c"), ("c", "d"), ("e", "f"), ("e", "g")], "a string, b string"
     )
     nodes = _names_df(spark, list("abcdefgh"))
     comp = {r.name: r.component for r in connected_components(
-        edges, nodes, "name", local_threshold=cc_thresh).collect()}
+        edges, nodes, "name", **cc_kwargs).collect()}
     assert comp == {
         "a": "a", "b": "a", "c": "a", "d": "a",
         "e": "e", "f": "e", "g": "e", "h": "h",
@@ -107,8 +112,8 @@ def _uf_components(edges, nodes):
     return {n: comp_min[r] for n, r in roots.items()}
 
 
-@BOTH_CC_PATHS
-def test_connected_components_random_graphs_match_union_find(spark, cc_thresh):
+@CC_PATHS
+def test_connected_components_random_graphs_match_union_find(spark, cc_kwargs):
     """Alternating large-star/small-star vs a plain union-find oracle on
     random graphs — including long chains (worst case for label
     propagation, O(log n) rounds here) and a hot star node."""
@@ -129,17 +134,46 @@ def test_connected_components_random_graphs_match_union_find(spark, cc_thresh):
         ndf = spark.createDataFrame([(n,) for n in all_nodes], "name string")
         got = {
             r.name: r.component
-            for r in connected_components(edf, ndf, "name", local_threshold=cc_thresh).collect()
+            for r in connected_components(edf, ndf, "name", **cc_kwargs).collect()
         }
         assert got == expected
 
 
-@BOTH_CC_PATHS
-def test_connected_components_self_loops_and_duplicates(spark, cc_thresh):
+@CC_PATHS
+def test_connected_components_self_loops_and_duplicates(spark, cc_kwargs):
     edges = spark.createDataFrame(
         [("x", "x"), ("x", "y"), ("y", "x"), ("z", "z")], "a string, b string"
     )
     got = {r.name: r.component for r in connected_components(
-        edges, local_threshold=cc_thresh).collect()}
+        edges, **cc_kwargs).collect()}
     # self-loop-only endpoint z keeps identity; x/y collapse to x
     assert got == {"x": "x", "y": "x", "z": "z"}
+
+
+def test_two_level_cc_large_chain_and_cliques(spark):
+    """Two-level path on a graph big enough to actually split across
+    tasks: a 900-node chain (adversarial for contraction — nearly every
+    node straddles task boundaries, forcing the root-graph fallback
+    routing) plus dense cliques (the contracting common case), checked
+    against the plain union-find oracle."""
+    import random
+
+    rng = random.Random(7)
+    edges = []
+    chain = [f"ch{i:04d}" for i in range(900)]
+    edges += list(zip(chain, chain[1:]))
+    all_nodes = list(chain)
+    for c in range(5):
+        members = [f"kq{c}_{i:03d}" for i in range(40)]
+        all_nodes += members
+        edges += [(a, b) for a in members for b in members if a < b]
+    rng.shuffle(edges)
+    expected = _uf_components(edges, all_nodes)
+    edf = spark.createDataFrame(edges, "a string, b string")
+    got = {
+        r.name: r.component
+        for r in connected_components(
+            edf, single_task_budget=100, local_threshold=1_000_000
+        ).collect()
+    }
+    assert got == expected

@@ -133,3 +133,12 @@ def test_graph_ops_over_pipeline_edges(spark, corpus50):
     tri = triangle_count(g).collect()[0]
     assert tri["n_edges"] == undirected_edges(g).count()
     assert tri["n_triangles"] >= 0
+
+
+def test_pagerank_empty_graph(spark):
+    """ADVICE r3: an empty edge table returns an empty (node, rank_s, rank)
+    frame instead of raising ZeroDivisionError."""
+    e = spark.createDataFrame([], "src string, dst string")
+    out = pagerank(e, iters=2)
+    assert out.columns == ["node", "rank_s", "rank"]
+    assert out.count() == 0

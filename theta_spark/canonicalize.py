@@ -315,6 +315,33 @@ def _small_star(e: DataFrame) -> DataFrame:
     return pairs.union(self_pairs).distinct()
 
 
+def _uf_batches(batches):
+    """Union-find (union-by-min-label + path compression) over an iterator
+    of pandas batches of (a, b) edges -> (parent dict, find fn). Shared by
+    the single-task finisher and the per-partition forest stage; the final
+    root of every component is its min label regardless of edge order."""
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(x, x) != x:
+            parent[x], x = root, parent[x]
+        return root
+
+    for pdf in batches:
+        for a, b in zip(pdf["a"], pdf["b"]):
+            parent.setdefault(a, a)
+            parent.setdefault(b, b)
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                if rb < ra:
+                    ra, rb = rb, ra
+                parent[rb] = ra
+    return parent, find
+
+
 def _local_cc(e: DataFrame) -> DataFrame:
     """Single-task union-find finisher for SMALL verified edge sets:
     (a,b) -> (name, component=min reachable name) in ONE narrow Arrow
@@ -323,15 +350,17 @@ def _local_cc(e: DataFrame) -> DataFrame:
     Why it exists: each large-star/small-star round costs two window
     shuffles plus one convergence action, a fixed overhead that does not
     shrink with more cores; when the surviving near-dup edge set is a few
-    thousand-to-million rows (the common case — LSH blocking + exact
-    verify leave only true near-duplicate pairs, orders of magnitude
-    fewer than names), those fixed costs dominate the whole graph phase.
-    Union-by-min-label + path compression is near-linear and one task
+    thousand rows (the common case — LSH blocking + exact verify leave
+    only true near-duplicate pairs, orders of magnitude fewer than
+    names), those fixed costs dominate the whole graph phase. One task
     holding the edge endpoints in a dict is far cheaper than O(log n)
-    distributed rounds. Deterministic: the final root of every component
-    is its global min name regardless of edge order. Label type follows
-    the edge endpoint type (names are strings; doc-level dedup passes
-    numeric ids)."""
+    distributed rounds — but ONLY while that one task stays small, so
+    connected_components caps this path at `single_task_budget` edges and
+    routes bigger sets through the two-level variant (`_two_level_cc`),
+    whose per-task input is bounded by the same budget. Deterministic:
+    the final root of every component is its global min name regardless
+    of edge order. Label type follows the edge endpoint type (names are
+    strings; doc-level dedup passes numeric ids)."""
     import pandas as pd
     from pyspark.sql import types as T
 
@@ -341,29 +370,127 @@ def _local_cc(e: DataFrame) -> DataFrame:
     )
 
     def uf(batches):
-        parent: dict = {}
-
-        def find(x):
-            root = x
-            while parent.get(root, root) != root:
-                root = parent[root]
-            while parent.get(x, x) != x:
-                parent[x], x = root, parent[x]
-            return root
-
-        for pdf in batches:
-            for a, b in zip(pdf["a"], pdf["b"]):
-                parent.setdefault(a, a)
-                parent.setdefault(b, b)
-                ra, rb = find(a), find(b)
-                if ra != rb:
-                    if rb < ra:
-                        ra, rb = rb, ra
-                    parent[rb] = ra
-        rows = [(x, find(x)) for x in parent]
-        yield pd.DataFrame(rows, columns=["name", "component"])
+        parent, find = _uf_batches(batches)
+        yield pd.DataFrame(
+            [(x, find(x)) for x in parent], columns=["name", "component"]
+        )
 
     return e.coalesce(1).mapInPandas(uf, schema)
+
+
+def _two_level_cc(e: DataFrame, tasks: int, max_iters: int = 20,
+                  single_task_budget: int = 200_000) -> DataFrame:
+    """Two-level union-find for MID-size edge sets (the measured 600k-doc
+    superlinear phase): the raw edges are split across `tasks` parallel
+    union-find tasks, each emitting its local spanning forest as
+    (name, local_root) star rows; only the CONTRACTED cross-partition
+    root graph is finished serially.
+
+    Level 1 (parallel, the bulk of the work): per-partition union-find
+    over ~|E|/tasks edges each — the union of per-partition spanning
+    forests preserves exactly the original connectivity (a forest keeps
+    its own partition's components connected; partitions connect through
+    shared nodes).
+
+    Level 2 (tiny): for every node, m = min of its local roots; each
+    extra root r != m contributes a root-graph edge (r, m) — two local
+    trees sharing a node thereby link their roots through that node's m.
+    The root graph has one edge per DUPLICATED (node, root) row, so for
+    clustered near-dup graphs it is orders of magnitude smaller than |E|
+    (a k-clique spread over P tasks contributes <= P*(k-1) forest rows
+    and ~P root edges vs k^2/2 raw edges). It is finished by the
+    single-task union-find, or — for adversarial non-contracting shapes
+    (e.g. a long path whose every node straddles two tasks) — by the
+    star-rounds fallback, keyed on its measured size.
+
+    Label correctness: the global min name y of a component is the min of
+    its own local tree, hence a local root, hence present in the root
+    graph (or the sole root, in which case every member's m is already
+    y); min-label union at both levels therefore yields component = min
+    reachable name — identical to the other two paths, under ANY edge
+    partitioning."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    dt = e.schema["a"].dataType
+    schema = T.StructType([T.StructField("name", dt), T.StructField("root", dt)])
+
+    def forest(batches):
+        parent, find = _uf_batches(batches)
+        yield pd.DataFrame([(x, find(x)) for x in parent], columns=["name", "root"])
+
+    # round-robin repartition: each task gets ~|E|/tasks edges; the result
+    # is partitioning-invariant (min-label CC), so determinism holds
+    lv1 = e.repartition(tasks).mapInPandas(forest, schema).localCheckpoint(eager=False)
+    w = Window.partitionBy("name")
+    lv = lv1.withColumn("m", F.min("root").over(w))
+    mapping = lv.select("name", "m").distinct().localCheckpoint(eager=False)
+    root_edges = (
+        lv.where(F.col("root") != F.col("m"))
+        .select(F.col("root").alias("a"), F.col("m").alias("b"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    # one scalar action: routes the finisher AND materializes lv1/mapping
+    n_roots = root_edges.count()
+    if n_roots == 0:
+        return mapping.select("name", F.col("m").alias("component"))
+    if n_roots <= single_task_budget:
+        root_labels = _local_cc(root_edges)
+    else:
+        root_labels = _star_cc(root_edges, max_iters=max_iters)
+    rl = root_labels.withColumnRenamed("name", "m").withColumnRenamed("component", "c")
+    return mapping.join(rl, "m", "left").select(
+        "name", F.coalesce("c", "m").alias("component")
+    )
+
+
+def _star_cc(e: DataFrame, max_iters: int = 20) -> DataFrame:
+    """Alternating large-star/small-star rounds (Kiveris et al., SOCC'14)
+    -> (name, component=min reachable name) for edge members. Input edges
+    must be distinct with a != b. O(log n) rounds; each round is two
+    window-min shuffles; the only driver action per CHECKED round is one
+    tiny fingerprint aggregate. After the first three rounds convergence
+    is only checked every second round — star rounds converge
+    monotonically (no period-2 cycles), so fp(k) == fp(k-2) still implies
+    a fixpoint, and skipped rounds stack lazily (their checkpoint
+    materializes inside the next checked round's action), halving the
+    tail's driver round-trips."""
+    def fingerprint(df: DataFrame):
+        # convergence check = equality of successive edge-set
+        # fingerprints. TWO independent bounded hash sums (different
+        # seeds and moduli) + the count: a false fixpoint needs a
+        # simultaneous collision of both sums AND the count between
+        # DIFFERENT sets — ~1e-12 per round vs ~1e-6 for one sum.
+        # (pmod bounds each term so the bigint sum cannot overflow
+        # under ANSI mode.)
+        row = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.pmod(F.xxhash64("a", "b"), F.lit(1_000_003))).alias("h1"),
+            F.sum(F.pmod(F.xxhash64(F.lit(13), "b", "a"), F.lit(999_983))).alias("h2"),
+        ).collect()[0]
+        return (row["n"], row["h1"], row["h2"])
+
+    prev = None
+    for i in range(max_iters):
+        # lazy checkpoint: the fingerprint aggregate is the round's ONE
+        # action and materializes the checkpoint as a side effect — one
+        # driver round-trip per checked round instead of two per round
+        e = _small_star(_large_star(e)).localCheckpoint(eager=False)
+        if i >= 3 and (i - 3) % 2 == 0:
+            continue  # unchecked round: stacks lazily into the next action
+        fp = fingerprint(e)
+        if fp == prev:
+            break
+        prev = fp
+    # converged: every edge points directly at its component root (a > b =
+    # root); roots never appear on the left. groupBy-min (not distinct)
+    # stays deterministic even if max_iters cut convergence short.
+    labels = e.select(F.col("a").alias("name"), F.col("b").alias("component"))
+    roots = e.select(F.col("b").alias("name")).distinct().select(
+        "name", F.col("name").alias("component")
+    )
+    return labels.union(roots).groupBy("name").agg(F.min("component").alias("component"))
 
 
 def connected_components(
@@ -371,32 +498,38 @@ def connected_components(
     nodes: DataFrame | None = None,
     name_col: str = "name",
     max_iters: int = 20,
-    local_threshold: int = 2_000_000,
+    local_threshold: int | None = None,
+    single_task_budget: int = 200_000,
 ) -> DataFrame:
     """(a,b) undirected edges [+ optional (name) isolated nodes] ->
     (name, component) where component = min name reachable.
 
-    Size-adaptive: the verified edge set is counted once (the count also
-    materializes its checkpoint); at or below `local_threshold` edges the
-    whole problem fits one task and a single-stage union-find finisher
-    (`_local_cc`) replaces the iteration — the standard contract-then-
-    finish-local CC hybrid. Above it, alternating large-star/small-star
-    (SURVEY.md §4.2): converges in O(log n) rounds vs O(component
-    diameter) for naive min-label propagation — a transitive
-    near-duplicate chain of length k needs ~log k rounds instead of k.
-    Each round is two window-min passes (one shuffle each, no joins); the
-    only action per round is one tiny fingerprint aggregate (count + hash
-    sum) used as the convergence check, so the driver round-trips are
-    O(log n) cheap aggregates instead of O(diameter) join-compare-count
-    pipelines. Lineage is cut via localCheckpoint once per round; AQE
-    coalesces the tiny shuffles. At 10^12-file scale the star rounds
-    carry arbitrarily large near-dup graphs; `local_threshold` is sized
-    so the finisher's single task stays well inside one executor's memory
-    (~2M short-string edges ~ a few hundred MB of dict).
+    Size-adaptive, three physical paths routed by ONE count action (which
+    also materializes the edge checkpoint):
+    - n <= single_task_budget: single-task union-find (`_local_cc`) —
+      the star rounds' fixed per-round costs (two window shuffles + an
+      action) dominate tiny edge sets, and a <=200k-edge dict is
+      sub-second Python;
+    - n <= local_threshold (default: single_task_budget x cluster
+      parallelism, capped at 16M — it SCALES with the cluster instead of
+      being a constant): two-level union-find (`_two_level_cc`) — the raw
+      edges are unioned in parallel tasks of ~budget edges each and only
+      the contracted cross-partition root graph is finished serially.
+      This is the fix for the measured 600k-doc superlinear phase, where
+      a single-task 1M+-edge dict was minutes of one-core work at BOTH
+      parallelism levels;
+    - above: alternating large-star/small-star rounds (`_star_cc`,
+      SURVEY.md §4.4): O(log n) rounds of two window-min shuffles each,
+      convergence via a tiny fingerprint aggregate (checked every 2nd
+      round after round 3). At 10^12-file scale this path carries
+      arbitrarily large near-dup graphs.
+    All three paths produce component = min reachable name and are
+    bit-identical under any partitioning (min-label union is
+    order-free); tests run each path on the same graphs.
 
     Only edge endpoints can ever change label, so when `nodes` is given its
     edge-free members are unioned in as identity rows without entering the
-    iteration — at corpus scale the rounds run on the (small)
+    iteration — at corpus scale the heavy paths run on the (small)
     near-duplicate subgraph, not the full entity vocabulary."""
     raw = edges.select("a", "b")
     # endpoints from the RAW input: a self-loop-only node has no real edge
@@ -407,56 +540,34 @@ def connected_components(
         .distinct()
         .localCheckpoint(eager=False)
     )
-    # the surviving near-dup edge set is orders of magnitude smaller than
-    # the name table — collapse it to a few partitions so each star round's
-    # window pass is a handful of tasks, not shuffle_partitions near-empty
-    # ones (the rounds' fixed cost is what bounds CC at high parallelism)
+    par = max(1, edges.sparkSession.sparkContext.defaultParallelism)
+    if local_threshold is None:
+        local_threshold = min(single_task_budget * par, 16_000_000)
     e = (
         raw.where(F.col("a") != F.col("b"))
         .distinct()
-        .coalesce(8)
         .localCheckpoint(eager=False)
     )
 
     # one count action: decides the path AND materializes the lazy
-    # checkpoint (the star path's first round would have paid this anyway)
+    # checkpoint (the heavy paths' first round would have paid this anyway)
     n_edges = e.count()
-    if n_edges <= local_threshold:
+    if n_edges <= min(single_task_budget, local_threshold):
         labels = _local_cc(e)
-    else:
-        def fingerprint(df: DataFrame):
-            # convergence check = equality of successive edge-set
-            # fingerprints. TWO independent bounded hash sums (different
-            # seeds and moduli) + the count: a false fixpoint needs a
-            # simultaneous collision of both sums AND the count between
-            # DIFFERENT sets — ~1e-12 per round vs ~1e-6 for one sum.
-            # (pmod bounds each term so the bigint sum cannot overflow
-            # under ANSI mode.)
-            row = df.agg(
-                F.count(F.lit(1)).alias("n"),
-                F.sum(F.pmod(F.xxhash64("a", "b"), F.lit(1_000_003))).alias("h1"),
-                F.sum(F.pmod(F.xxhash64(F.lit(13), "b", "a"), F.lit(999_983))).alias("h2"),
-            ).collect()[0]
-            return (row["n"], row["h1"], row["h2"])
-
-        prev = None
-        for _ in range(max_iters):
-            # lazy checkpoint: the fingerprint aggregate is the round's ONE
-            # action and materializes the checkpoint as a side effect — one
-            # driver round-trip per round instead of two (eager + fingerprint)
-            e = _small_star(_large_star(e)).localCheckpoint(eager=False)
-            fp = fingerprint(e)
-            if fp == prev:
-                break
-            prev = fp
-        # converged: every edge points directly at its component root (a > b =
-        # root); roots never appear on the left. groupBy-min (not distinct)
-        # stays deterministic even if max_iters cut convergence short.
-        labels = e.select(F.col("a").alias("name"), F.col("b").alias("component"))
-        roots = e.select(F.col("b").alias("name")).distinct().select(
-            "name", F.col("name").alias("component")
+    elif n_edges <= local_threshold:
+        tasks = max(2, min(2 * par, -(-n_edges // single_task_budget)))
+        labels = _two_level_cc(
+            e, tasks, max_iters=max_iters, single_task_budget=single_task_budget
         )
-        labels = labels.union(roots).groupBy("name").agg(F.min("component").alias("component"))
+    else:
+        # collapse to a bounded partition count first: each star round's
+        # window pass should be a handful of real tasks, not
+        # shuffle_partitions near-empty ones (the rounds' fixed cost is
+        # what bounds CC at high parallelism)
+        labels = _star_cc(
+            e.coalesce(max(8, min(par, -(-n_edges // single_task_budget)))),
+            max_iters=max_iters,
+        )
     # isolated endpoints (self-loop-only inputs) keep identity labels
     covered = labels.select("name")
     isolated_endpoints = endpoints.join(covered, on="name", how="left_anti")
@@ -478,7 +589,7 @@ def canonicalize_names(
     threshold: float = 0.9,
     max_iters: int = 20,
     max_bucket: int = 64,
-    cc_local_threshold: int = 2_000_000,
+    cc_local_threshold: int | None = None,
 ) -> DataFrame:
     """(name) distinct -> (name, canonical). Names in the same near-duplicate
     component share the lexicographically smallest member as canonical.

@@ -86,6 +86,15 @@ def pagerank(
     e = edges.select(src, dst).distinct().localCheckpoint(eager=False)
     nodes = graph_nodes(e, src, dst).localCheckpoint(eager=False)
     n_nodes = nodes.count()  # one scalar job up front; O(1) driver traffic
+    if n_nodes == 0:
+        # empty graph: same contract as triangle_count/degree_stats —
+        # an empty result with the full output schema (node keeps the
+        # input's endpoint type), not a ZeroDivisionError
+        return nodes.select(
+            "node",
+            F.lit(None).cast("long").alias("rank_s"),
+            F.lit(None).cast("double").alias("rank"),
+        )
     base = SCALE // n_nodes
     outd = e.groupBy(F.col(src).alias("node")).agg(F.count(F.lit(1)).alias("out_deg"))
     # node table annotated once with out_deg (0 = dangling)

@@ -1764,8 +1764,8 @@ def gr_two_hop(spark, sf_dir):
            COUNT(DISTINCT doc_id) AS n_docs,
            ROUND(AVG(fin - start + 1), 4) AS len_mean,
            ROUND(stddev_pop(fin - start + 1), 4) AS len_std,
-           MIN(fin - start + 1) AS len_min,
-           MAX(fin - start + 1) AS len_max
+           CAST(MIN(fin - start + 1) AS BIGINT) AS len_min,
+           CAST(MAX(fin - start + 1) AS BIGINT) AS len_max
     FROM tags GROUP BY category_id ORDER BY category_id
     """,
 )
