@@ -42,6 +42,35 @@ def _stage_wall(workdir: str, stage: str) -> float:
 from bench_scaling import _proc_stat  # noqa: E402
 
 
+def _steal_probe(window_s: float = 1.5) -> float:
+    """Instantaneous host steal%% over a short idle window. The guest is
+    time-shared; numbers taken while the hypervisor is handing our vCPUs
+    to neighbors (steal >~1%%) are not citable (BENCH.md §W), so the kg
+    section probes first and waits for a clean window."""
+    b0, s0, t0 = _proc_stat()
+    time.sleep(window_s)
+    b1, s1, t1 = _proc_stat()
+    return round(100.0 * (s1 - s0) / max(t1 - t0, 1), 2)
+
+
+def _wait_clean_window(
+    threshold_pct: float = 1.0, retries: int = 4, backoff_s: float = 20.0
+) -> dict:
+    """Probe steal; if the window is dirty, sleep and retry (bounded).
+    Returns the probe record either way — a dirty final probe ANNOTATES
+    the section rather than blocking the bench (the driver needs an
+    artifact even on a hostile host)."""
+    probes = []
+    for i in range(retries + 1):
+        pct = _steal_probe()
+        probes.append(pct)
+        if pct < threshold_pct:
+            return {"steal_probe_pct": pct, "probe_clean": True, "probes": probes}
+        if i < retries:
+            time.sleep(backoff_s)
+    return {"steal_probe_pct": probes[-1], "probe_clean": False, "probes": probes}
+
+
 def _sf_of(sf_dir: str) -> float:
     base = os.path.basename(sf_dir.rstrip("/"))
     try:
@@ -96,6 +125,12 @@ def run_bench(
     workdir = tempfile.mkdtemp(prefix="kgbench_")
     compute_only = os.environ.get("SPARK_GRAFT_BENCH_SINK") == "count"
     hz = os.sysconf("SC_CLK_TCK")
+    # steal gate (VERDICT r3 #5): r2's query section and r3's kg section were
+    # both poisoned by hypervisor-steal windows; probe first, wait for a
+    # clean one (bounded), and ANNOTATE the section either way so the
+    # artifact says whether its kg number is citable.
+    if os.environ.get("SPARK_GRAFT_BENCH_NO_PROBE") != "1":
+        kg["probe"] = _wait_clean_window()
     try:
         b0, s0, tj0 = _proc_stat()
         t0 = time.time()
@@ -160,6 +195,14 @@ def run_bench(
         t_extract = _stage_wall(workdir, "mentions") + _stage_wall(workdir, "triples")
         timings["kg_pipeline"] = round(t_extract, 3)
         timings["kg_graph"] = round(t_all - t_extract, 3)
+        # per-stage walls IN the artifact (VERDICT r3 #5): kg_graph
+        # decomposes into its stage commits so a regression is isolable
+        # per stage without re-running. nodes/edge_provenance/scored_docs
+        # commit concurrently (pipeline._commit_graph_layer) — their walls
+        # overlap, so the graph tail ~= max(parallel batch) + edges.
+        kg["stage_walls"] = {
+            st: round(_stage_wall(workdir, st), 3) for st in stages
+        }
         kg.update(
             n_docs=n_docs,
             n_chars=int(n_chars),
@@ -255,6 +298,31 @@ def run_bench(
         "query_section": query_section,
     }
     spark.stop()
+
+    # local[8] kg pair (VERDICT r3 #5): this host can actually deliver 8
+    # honest cores even when 32-wide runs sit in the vCPU-steal zone, so
+    # every per-round artifact carries one honest-region kg number next to
+    # the local[32] one. Own JVM via bench_scaling.run_level (the subprocess
+    # runs kg-only, so no recursion back through this block).
+    if not skip_graph and os.environ.get("SPARK_GRAFT_BENCH_L8") != "0":
+        from bench_scaling import run_level
+
+        try:
+            l8 = run_level(8, sf_dir, n_docs, skip_graph=False, kg_only=True)
+            result["kg_local8"] = {
+                "kg_pipeline": l8["queries"].get("kg_pipeline"),
+                "kg_graph": l8["queries"].get("kg_graph"),
+                **{
+                    k: l8["kg"].get(k)
+                    for k in (
+                        "stage_walls", "probe", "steal_pct", "busy_cpu_s",
+                        "triples_per_sec", "end_to_end_sec",
+                    )
+                },
+                "telemetry": l8.get("telemetry"),
+            }
+        except Exception as exc:  # annotate, never fail the artifact
+            result["kg_local8"] = {"error": str(exc)[:500]}
     return result
 
 

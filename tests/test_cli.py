@@ -27,7 +27,9 @@ def _run_cli(workdir, extra):
 def test_cli_synthetic_run_and_resume(tmp_path):
     wd = tmp_path / "kg"
     out = _run_cli(wd, ["--synthetic", "120"])
-    assert set(out["stages"]) == {"mentions", "triples", "nodes", "edge_provenance", "edges"}
+    assert set(out["stages"]) == {
+        "mentions", "triples", "nodes", "edge_provenance", "edges", "scored_docs"
+    }
     rows = {s: m["rows_out"] for s, m in out["stages"].items()}
     assert all(v > 0 for v in rows.values())
     assert out["scorer"] == "rule" and out["decoder"] == "span"

@@ -228,3 +228,177 @@ def test_encode_batch_positions_gather():
     assert toks == ["def", "play", "ing"]
     assert positions == [1, 2, 3]
     assert [ids[p] for p in positions] == [200, 203, 204]
+
+
+# =====================================================================
+# Golden byte-level BPE fixture (T1/W5, second tokenizer family). Code
+# corpora are BPE-tokenized (GPT-2/RoBERTa/CodeLlama style), and BPE
+# offsets behave differently from WordPiece in exactly the ways the
+# adapter must survive:
+#   - NO continuation prefix: 'hello' -> ['he','llo'], both plain text;
+#   - the space is part of the FOLLOWING token (' foo' spans the space),
+#     so engine token text legitimately starts with whitespace;
+#   - merges apply by RANK priority, not left-to-right, so ' def' can
+#     come out [' ','def'] even when (' ','d') is in the merge table;
+#   - byte-level means a token boundary can fall INSIDE a multi-byte
+#     char: HF resolves each fragment's offsets to the full char span,
+#     so several tokens can carry the SAME (start,end) — the adapter
+#     must emit them faithfully (downstream decode walks offsets, and
+#     the adapter's token text is text[s:e] by construction, never the
+#     model's piece string).
+# The fixture is a spec-faithful implementation of the PUBLIC byte-level
+# BPE algorithm (GPT-2 paper / openai/gpt-2 encoder.py; RoBERTa-style
+# <s>/</s> specials with (0,0) offsets), with expected outputs hand-
+# derived below, NOT computed by the code under test.
+# =====================================================================
+
+# merge table, rank-ordered (rank = index); token ids: single byte b -> b,
+# merge rank r -> 300+r, specials 256/257/258
+_BPE_MERGES = [
+    (b"d", b"e"),        # 0 -> b"de"
+    (b"de", b"f"),       # 1 -> b"def"       id 301
+    (b" ", b"f"),        # 2 -> b" f"
+    (b" f", b"o"),       # 3 -> b" fo"
+    (b" fo", b"o"),      # 4 -> b" foo"      id 304
+    (b"l", b"l"),        # 5 -> b"ll"
+    (b"h", b"e"),        # 6 -> b"he"        id 306
+    (b"ll", b"o"),       # 7 -> b"llo"       id 307
+    (b"c", b"a"),        # 8 -> b"ca"
+    (b"ca", b"f"),       # 9 -> b"caf"       id 309
+    (b"\xc3", b"\xa9"),  # 10 -> "é" (U+00E9 as UTF-8)  id 310
+]
+_BPE_RANK = {pair: r for r, pair in enumerate(_BPE_MERGES)}
+_BPE_ID = {a + b: 300 + r for r, (a, b) in enumerate(_BPE_MERGES)}
+_BOS, _EOS, _BPAD = 256, 257, 258
+
+
+class MiniByteBPE:
+    """Byte-level BPE with the HF fast call signature and output shape.
+    Pre-tokenization: GPT-2-style optional-leading-space word runs
+    (`' ?\\S+'`) with stray whitespace as single-char pre-tokens. Offsets
+    are char indices into the original string; a token whose bytes fall
+    inside a multi-byte char gets that char's full span (the tokenizers-
+    library byte->char resolution)."""
+
+    def __init__(self, pad_to=None):
+        self.pad_to = pad_to
+
+    @staticmethod
+    def _bpe(word):
+        """word: list[bytes] single bytes -> merged list[bytes]. Lowest-
+        rank adjacent pair merges first (first occurrence per step; re-
+        scanning each step makes rank priority global, as in gpt-2)."""
+        while len(word) > 1:
+            best = None
+            for i in range(len(word) - 1):
+                r = _BPE_RANK.get((word[i], word[i + 1]))
+                if r is not None and (best is None or r < best[0]):
+                    best = (r, i)
+            if best is None:
+                return word
+            _, i = best
+            word = word[:i] + [word[i] + word[i + 1]] + word[i + 2:]
+        return word
+
+    def __call__(self, texts, return_offsets_mapping=True, add_special_tokens=True,
+                 truncation=True, max_length=512):
+        import re
+
+        assert return_offsets_mapping
+        ids_all, offs_all = [], []
+        for t in texts:
+            ids, offs = [], []
+            for m in re.finditer(r" ?\S+|\s", t):
+                pt, c0 = m.group(), m.start()
+                b2c = []  # byte index within pre-token -> char index in text
+                for k, ch in enumerate(pt):
+                    b2c.extend([c0 + k] * len(ch.encode("utf-8")))
+                pieces = self._bpe([bytes([b]) for b in pt.encode("utf-8")])
+                bpos = 0
+                for p in pieces:
+                    ids.append(_BPE_ID[p] if len(p) > 1 else p[0])
+                    offs.append((b2c[bpos], b2c[bpos + len(p) - 1] + 1))
+                    bpos += len(p)
+            if truncation and add_special_tokens and len(ids) > max_length - 2:
+                ids, offs = ids[: max_length - 2], offs[: max_length - 2]
+            if add_special_tokens:  # RoBERTa-style <s>/</s>, (0,0) offsets
+                ids = [_BOS] + ids + [_EOS]
+                offs = [(0, 0)] + offs + [(0, 0)]
+            if self.pad_to:
+                while len(ids) < self.pad_to:
+                    ids.append(_BPAD)
+                    offs.append((0, 0))
+            ids_all.append(ids)
+            offs_all.append(offs)
+        return {"input_ids": ids_all, "offset_mapping": offs_all}
+
+
+# (text, expected tokens, expected starts, expected ends) — hand-derived
+BPE_GOLDEN = [
+    # space belongs to the FOLLOWING token (' foo' spans chars 3..7)
+    ("def foo", ["def", " foo"], [0, 3], [3, 7]),
+    # subword split WITHOUT a continuation prefix (vs WordPiece '##')
+    ("hello", ["he", "llo"], [0, 2], [2, 5]),
+    # rank priority: (d,e) fires before (' ',d) could, so ' def' comes
+    # out [' ', 'def'] — merge order is global rank, not left-to-right
+    ("def def", ["def", " ", "def"], [0, 3, 4], [3, 4, 7]),
+    # 2-byte char WITH a merge: 'é' = c3 a9 merges to one full-char token
+    ("café", ["caf", "é"], [0, 3], [3, 4]),
+    # 2-byte char WITHOUT a merge: 'ù' = c3 b9 stays two byte fragments,
+    # BOTH resolved to the full char span (3,4) — duplicate offsets are
+    # legal BPE output and must pass through the adapter unchanged
+    ("cafù", ["caf", "ù", "ù"], [0, 3, 3], [3, 4, 4]),
+    # 4-byte emoji, no merges: four fragments all spanning char 2
+    ("a \U0001F680", ["a", " ", "🚀", "🚀", "🚀", "🚀"],
+     [0, 1, 2, 2, 2, 2], [1, 2, 3, 3, 3, 3]),
+    # byte-level needs no punctuation pre-split: unmerged bytes surface
+    # as single-char tokens
+    ("(a)", ["(", "a", ")"], [0, 1, 2], [1, 2, 3]),
+    ("", [], [], []),
+]
+
+
+def test_bpe_golden_fixture_batch():
+    """One batched adapter call over the BPE goldens: engine-contract
+    output matches the hand-written expectation and the slice identity
+    text[s:e] == token holds everywhere (for byte-fragment tokens the
+    token IS the full char the fragment sits in — by adapter
+    construction, which is the correct engine-side view)."""
+    ad = HFTokenizerAdapter(MiniByteBPE())
+    outs = ad.tokenize_batch([g[0] for g in BPE_GOLDEN])
+    for (text, exp_toks, exp_s, exp_e), (toks, ss, es) in zip(BPE_GOLDEN, outs):
+        assert toks == exp_toks, (text, toks)
+        assert ss == exp_s and es == exp_e, (text, ss, es)
+        for tok, s, e in zip(toks, ss, es):
+            assert text[s:e] == tok
+
+
+def test_bpe_truncation_and_padding():
+    """W5 on the BPE family: max_length counts <s>/</s>; pad rows are
+    (0,0) and never reach the engine contract."""
+    ad = HFTokenizerAdapter(MiniByteBPE(), max_length=3)
+    toks, ss, es = ad.tokenize_with_offsets("def foo")
+    assert (toks, ss, es) == (["def"], [0], [3])
+    ad = HFTokenizerAdapter(MiniByteBPE(pad_to=12))
+    toks, ss, es = ad.tokenize_with_offsets("hello")
+    assert toks == ["he", "llo"]
+    assert all(e > s for s, e in zip(ss, es))
+
+
+def test_bpe_encode_batch_positions_gather():
+    """encode_batch over BPE: untrimmed model ids (specials + pads kept)
+    with positions[] selecting exactly the engine-contract rows."""
+    ad = HFTokenizerAdapter(MiniByteBPE(pad_to=6))
+    (ids, toks, ss, es, positions), = ad.encode_batch(["def foo"])
+    assert ids == [_BOS, 301, 304, _EOS, _BPAD, _BPAD]
+    assert toks == ["def", " foo"]
+    assert positions == [1, 2]
+    assert [ids[p] for p in positions] == [301, 304]
+
+
+def test_bpe_fragment_offsets_are_monotone_nondecreasing():
+    """The decode walk assumes starts are non-decreasing; duplicate
+    full-char spans from byte fragments keep that invariant."""
+    ad = HFTokenizerAdapter(MiniByteBPE())
+    toks, ss, es = ad.tokenize_with_offsets("cafù x 🚀")
+    assert ss == sorted(ss) and es == sorted(es)

@@ -65,6 +65,7 @@ def pagerank(
     damping_pct: int = 85,
     src: str = "src",
     dst: str = "dst",
+    init_ranks: DataFrame | None = None,
 ) -> DataFrame:
     """Fixed-iteration PageRank in i64 fixed-point → (node, rank_s, rank).
 
@@ -82,6 +83,13 @@ def pagerank(
     The loop below builds ONE lazy plan of depth `iters` (no action per
     iteration); keep `iters` small (≤ ~8) or localCheckpoint between
     rounds at cluster scale to cap lineage depth.
+
+    `init_ranks` (node, rank_s) warm-starts the iteration — the
+    INCREMENTAL path: after the pipeline merges an edge delta, reuse the
+    prior run's ranks as init (new nodes start at SCALE//N) and run a
+    few refinement iterations instead of the full count from uniform.
+    Still exact integer arithmetic, so an oracle can unroll the same
+    warm-started recurrence and hash-match bit for bit.
     """
     e = edges.select(src, dst).distinct().localCheckpoint(eager=False)
     nodes = graph_nodes(e, src, dst).localCheckpoint(eager=False)
@@ -102,7 +110,16 @@ def pagerank(
         "node", F.coalesce("out_deg", F.lit(0)).cast("long").alias("out_deg")
     ).localCheckpoint(eager=False)
 
-    ranks = ndeg.select("node", "out_deg", F.lit(base).cast("long").alias("r"))
+    if init_ranks is not None:
+        # warm start: prior rank where known, uniform base for new nodes
+        ranks = ndeg.join(
+            init_ranks.select("node", F.col("rank_s").alias("r0")), "node", "left"
+        ).select(
+            "node", "out_deg",
+            F.coalesce("r0", F.lit(base)).cast("long").alias("r"),
+        )
+    else:
+        ranks = ndeg.select("node", "out_deg", F.lit(base).cast("long").alias("r"))
     teleport = ((100 - damping_pct) * base) // 100
     for _ in range(iters):
         # `div` is Spark's exact integral division — a double `/` +
@@ -146,23 +163,26 @@ def undirected_edges(edges: DataFrame, src: str = "src", dst: str = "dst") -> Da
     return e.distinct()
 
 
-def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
-    """1-row (n_nodes, n_edges, n_triangles) over the undirected graph.
-
-    Degree-ordered orientation: each undirected edge points from its
-    (degree, id)-smaller endpoint to the larger one, so oriented
-    out-degree is O(sqrt(|E|)) per node and the wedge self-join is
-    skew-bounded even around hub entities. The count is identical to the
-    naive a<b<c enumeration (each triangle has exactly one vertex from
-    which both others are oriented-reachable).
-    """
-    und = undirected_edges(edges, src, dst).localCheckpoint(eager=False)
-    deg = (
+def _degrees(und: DataFrame) -> DataFrame:
+    """(node, deg) over the undirected a<b edge set."""
+    return (
         und.select(F.col("a").alias("node"))
         .unionByName(und.select(F.col("b").alias("node")))
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("deg"))
     )
+
+
+def _enumerate_triangles(und: DataFrame, deg: DataFrame) -> DataFrame:
+    """(u, v1, v2) — each triangle of the undirected graph exactly once.
+
+    Degree-ordered orientation: each undirected edge points from its
+    (degree, id)-smaller endpoint to the larger one, so oriented
+    out-degree is O(sqrt(|E|)) per node and the wedge self-join is
+    skew-bounded even around hub entities. The enumeration is identical
+    to the naive a<b<c one (each triangle has exactly one vertex from
+    which both others are oriented-reachable).
+    """
     da = deg.select(F.col("node").alias("a"), F.col("deg").alias("deg_a"))
     db = deg.select(F.col("node").alias("b"), F.col("deg").alias("deg_b"))
     # orient low → high by (deg, id); "u" is the smaller endpoint
@@ -184,13 +204,21 @@ def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
     e2 = oriented.select(F.col("u"), F.col("v").alias("v2"))
     wedges = e1.join(e2, "u").filter(F.col("v1") < F.col("v2"))
     closing = und.select(F.col("a").alias("w1"), F.col("b").alias("w2"))
-    tris = wedges.join(
+    return wedges.join(
         closing,
         (
             (F.least("v1", "v2") == F.col("w1"))
             & (F.greatest("v1", "v2") == F.col("w2"))
         ),
-    )
+    ).select("u", "v1", "v2")
+
+
+def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """1-row (n_nodes, n_edges, n_triangles) over the undirected graph
+    via the degree-oriented enumeration (_enumerate_triangles)."""
+    und = undirected_edges(edges, src, dst).localCheckpoint(eager=False)
+    deg = _degrees(und)
+    tris = _enumerate_triangles(und, deg)
     n_nodes = deg.agg(F.count(F.lit(1)).alias("n")).select(F.col("n"))
     n_edges = und.agg(F.count(F.lit(1)).alias("n")).select(F.col("n"))
     n_tris = tris.agg(F.count(F.lit(1)).alias("n")).select(F.col("n"))
@@ -198,6 +226,42 @@ def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
         n_nodes.select(F.col("n").alias("n_nodes"))
         .crossJoin(n_edges.select(F.col("n").alias("n_edges")))
         .crossJoin(n_tris.select(F.col("n").alias("n_triangles")))
+    )
+
+
+def clustering_coefficient(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """(node, deg, tri_cnt, lcc) — local clustering coefficient per node
+    over the undirected graph: lcc(v) = 2·tri(v) / (deg(v)·(deg(v)−1)),
+    0.0 for deg < 2.
+
+    Per-node triangle counts come from the SAME skew-bounded oriented
+    enumeration as triangle_count — each (u,v1,v2) row explodes to its
+    three corners, one groupBy(node) later the counts are in; no per-node
+    neighborhood materialization (which would blow up on hubs). lcc is
+    one double division rounded to 6 places so the DuckDB oracle (same
+    integer inputs, same rounding) hash-matches.
+    """
+    und = undirected_edges(edges, src, dst).localCheckpoint(eager=False)
+    deg = _degrees(und)
+    corners = (
+        _enumerate_triangles(und, deg)
+        .select(F.explode(F.array("u", "v1", "v2")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("tri_cnt"))
+    )
+    return deg.join(corners, "node", "left").select(
+        "node",
+        F.col("deg").cast("long").alias("deg"),
+        F.coalesce("tri_cnt", F.lit(0)).cast("long").alias("tri_cnt"),
+        F.round(
+            F.when(
+                F.col("deg") >= 2,
+                F.lit(2.0)
+                * F.coalesce("tri_cnt", F.lit(0))
+                / (F.col("deg") * (F.col("deg") - F.lit(1))),
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("lcc"),
     )
 
 

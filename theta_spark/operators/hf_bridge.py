@@ -26,7 +26,18 @@ add_special_tokens=..., truncation=..., max_length=...) -> mapping with
 A scorer built on this adapter plugs into the same fused mapInPandas
 stage as RuleScorer/MLPScorer — the adapter is the missing piece between
 the HF API and the `score_text` contract, tested against a fake with the
-exact HF call signature (tests/test_hf_bridge.py).
+exact HF call signature (tests/test_hf_bridge.py) and against golden
+fixtures for BOTH dominant tokenizer families:
+
+- WordPiece (BERT): '##' continuation pieces, punctuation pre-split,
+  (0,0) specials/pads (tests/test_hf_bridge.py::MiniWordPiece);
+- byte-level BPE (GPT-2/RoBERTa/code models): NO continuation prefix,
+  the space belongs to the FOLLOWING token, merges apply by global rank,
+  and a token boundary may fall inside a multi-byte char — HF resolves
+  each byte fragment to the full char span, so duplicate (start,end)
+  pairs are legal output the adapter passes through unchanged; the
+  engine-side token text is text[s:e] by construction, never the model's
+  piece string (tests/test_hf_bridge.py::MiniByteBPE).
 """
 
 from __future__ import annotations

@@ -1615,32 +1615,57 @@ def _graph_edges(spark, sf_dir):
     return fwd.unionByName(rev).filter(F.col("src") != F.col("dst")).distinct()
 
 
-def _pagerank_oracle_sql(iters: int = 4, damping: int = 85, scale: int = 10**12) -> str:
+def _pr_recurrence_sql(
+    edges: str,
+    pfx: str,
+    iters: int,
+    init_from: str | None = None,
+    damping: int = 85,
+    scale: int = 10**12,
+) -> str:
+    """CTE definitions (comma-joined, no WITH) unrolling the exact i64
+    fixed-point PageRank recurrence over edge CTE `edges`, names prefixed
+    with `pfx`. `init_from` names a prior (node, ..., r) CTE to warm-start
+    from (new nodes fall back to uniform base) — the SQL twin of
+    pagerank(init_ranks=...)."""
+    if init_from is None:
+        r0 = f"{pfx}r0 AS (SELECT node, out_deg, (SELECT base FROM {pfx}params) AS r FROM {pfx}ndeg)"
+    else:
+        r0 = f"""{pfx}r0 AS (
+  SELECT n.node, n.out_deg,
+         CAST(COALESCE(p.r, (SELECT base FROM {pfx}params)) AS BIGINT) AS r
+  FROM {pfx}ndeg n LEFT JOIN {init_from} p ON n.node = p.node)"""
     parts = [
-        "WITH " + _GRAPH_SQL_CTE,
-        f"""nodes AS (SELECT src AS node FROM ge UNION SELECT dst FROM ge),
-params AS (SELECT COUNT(*)::BIGINT AS nn, ({scale} // COUNT(*))::BIGINT AS base FROM nodes),
-outd AS (SELECT src AS node, COUNT(*)::BIGINT AS out_deg FROM ge GROUP BY src),
-ndeg AS (SELECT n.node, COALESCE(o.out_deg, 0)::BIGINT AS out_deg
-         FROM nodes n LEFT JOIN outd o ON n.node = o.node),
-r0 AS (SELECT node, out_deg, (SELECT base FROM params) AS r FROM ndeg)""",
+        f"""{pfx}nodes AS (SELECT src AS node FROM {edges} UNION SELECT dst FROM {edges}),
+{pfx}params AS (SELECT COUNT(*)::BIGINT AS nn, ({scale} // COUNT(*))::BIGINT AS base FROM {pfx}nodes),
+{pfx}outd AS (SELECT src AS node, COUNT(*)::BIGINT AS out_deg FROM {edges} GROUP BY src),
+{pfx}ndeg AS (SELECT n.node, COALESCE(o.out_deg, 0)::BIGINT AS out_deg
+         FROM {pfx}nodes n LEFT JOIN {pfx}outd o ON n.node = o.node),
+{r0}""",
     ]
     for i in range(1, iters + 1):
         parts.append(
-            f"""c{i} AS (
+            f"""{pfx}c{i} AS (
   SELECT e.dst AS node, SUM(r.r // r.out_deg)::BIGINT AS s
-  FROM ge e JOIN r{i - 1} r ON e.src = r.node WHERE r.out_deg > 0 GROUP BY e.dst
+  FROM {edges} e JOIN {pfx}r{i - 1} r ON e.src = r.node WHERE r.out_deg > 0 GROUP BY e.dst
 ),
-d{i} AS (SELECT COALESCE(SUM(r), 0)::BIGINT AS dm FROM r{i - 1} WHERE out_deg = 0),
-r{i} AS (
+{pfx}d{i} AS (SELECT COALESCE(SUM(r), 0)::BIGINT AS dm FROM {pfx}r{i - 1} WHERE out_deg = 0),
+{pfx}r{i} AS (
   SELECT n.node, n.out_deg,
     CAST((((100 - {damping}) * p.base) // 100)
          + (({damping} * (COALESCE(c.s, 0) + (d.dm // p.nn))) // 100) AS BIGINT) AS r
-  FROM ndeg n LEFT JOIN c{i} c ON n.node = c.node CROSS JOIN d{i} d CROSS JOIN params p
+  FROM {pfx}ndeg n LEFT JOIN {pfx}c{i} c ON n.node = c.node CROSS JOIN {pfx}d{i} d CROSS JOIN {pfx}params p
 )"""
         )
+    return ",\n".join(parts)
+
+
+def _pagerank_oracle_sql(iters: int = 4, damping: int = 85, scale: int = 10**12) -> str:
     return (
-        ",\n".join(parts)
+        "WITH "
+        + _GRAPH_SQL_CTE
+        + ",\n"
+        + _pr_recurrence_sql("ge", "", iters, damping=damping, scale=scale)
         + f"\nSELECT node, r AS rank_s, r / {float(scale)} AS rank FROM r{iters} ORDER BY node"
     )
 
@@ -1726,6 +1751,82 @@ def gr_two_hop(spark, sf_dir):
     from theta_spark.functions.graph import two_hop_reach
 
     return two_hop_reach(_graph_edges(spark, sf_dir), top=30)
+
+
+@query(
+    "gr_clustering_coeff",
+    f"""
+    WITH {_GRAPH_SQL_CTE},
+    und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b FROM ge),
+    deg AS (
+      SELECT node, COUNT(*)::BIGINT AS deg FROM (
+        SELECT a AS node FROM und UNION ALL SELECT b FROM und
+      ) GROUP BY node
+    ),
+    t AS (
+      SELECT e1.a AS x, e1.b AS y, e2.b AS z
+      FROM und e1 JOIN und e2 ON e1.a = e2.a AND e1.b < e2.b
+      JOIN und e3 ON e3.a = e1.b AND e3.b = e2.b
+    ),
+    corners AS (
+      SELECT node, COUNT(*)::BIGINT AS tri_cnt FROM (
+        SELECT unnest([x, y, z]) AS node FROM t
+      ) GROUP BY node
+    )
+    SELECT d.node, d.deg,
+           COALESCE(c.tri_cnt, 0)::BIGINT AS tri_cnt,
+           ROUND(CASE WHEN d.deg >= 2
+                      THEN 2.0 * COALESCE(c.tri_cnt, 0) / (d.deg * (d.deg - 1))
+                      ELSE 0.0 END, 6) AS lcc
+    FROM deg d LEFT JOIN corners c ON d.node = c.node ORDER BY d.node
+    """,
+)
+def gr_clustering_coeff(spark, sf_dir):
+    """Local clustering coefficient per node (functions/graph.py
+    clustering_coefficient): per-node triangle counts from the SAME
+    degree-oriented skew-bounded enumeration as gr_triangles (each
+    triangle row explodes to its 3 corners, one groupBy), joined to
+    degrees — never materializes a node's neighbor set, so a hub with
+    10^6 neighbors costs O(oriented-degree^2) = O(E) not O(deg^2). The
+    oracle enumerates triangles naively (a<b<c) and must agree on every
+    (node, deg, tri_cnt, lcc) row."""
+    from theta_spark.functions.graph import clustering_coefficient
+
+    return clustering_coefficient(_graph_edges(spark, sf_dir)).orderBy("node")
+
+
+def _incr_pagerank_oracle_sql() -> str:
+    """Warm-started PageRank oracle: 4 uniform iterations on the PRIOR
+    edge subset (ge_old), then 2 refinement iterations on the FULL edge
+    set initialized from the prior ranks (new nodes at uniform base) —
+    the exact SQL twin of pagerank(full, iters=2, init_ranks=prior)."""
+    scale = 10**12
+    return (
+        "WITH "
+        + _GRAPH_SQL_CTE
+        + ",\nge_old AS (SELECT * FROM ge WHERE (src + dst) % 10 <> 0),\n"
+        + _pr_recurrence_sql("ge_old", "p", 4)
+        + ",\n"
+        + _pr_recurrence_sql("ge", "f", 2, init_from="pr4")
+        + f"\nSELECT node, r AS rank_s, r / {float(scale)} AS rank FROM fr2 ORDER BY node"
+    )
+
+
+@query("gr_pagerank_incremental", _incr_pagerank_oracle_sql())
+def gr_pagerank_incremental(spark, sf_dir):
+    """Incremental PageRank (the KG's edge table grows per pipeline run):
+    ranks from the PRIOR graph (~90% edge subset, 4 iterations from
+    uniform) warm-start 2 refinement iterations over the merged full
+    graph — new nodes enter at uniform base (functions/graph.py pagerank
+    init_ranks). At 10^9 edges this turns every incremental update from
+    a full fixed-point run into a couple of refinement sweeps; exact i64
+    arithmetic end-to-end keeps it oracle-checkable bit for bit."""
+    from theta_spark.functions.graph import pagerank
+
+    full = _graph_edges(spark, sf_dir)
+    old = full.filter((F.col("src") + F.col("dst")) % 10 != 0)
+    prior = pagerank(old, iters=4)
+    return pagerank(full, iters=2, init_ranks=prior).orderBy("node")
 
 
 # ===================================================================
