@@ -25,10 +25,6 @@ import sys
 import time
 
 
-class _BenchDone(Exception):
-    """Internal: unwinds the staged-bench body in compute-only mode."""
-
-
 def _stage_wall(workdir: str, stage: str) -> float:
     import json as _json
 
@@ -122,8 +118,17 @@ def run_bench(
     corpus = corpus.persist()
     n_chars = corpus.agg(F.sum(F.length("content"))).collect()[0][0]
 
-    workdir = tempfile.mkdtemp(prefix="kgbench_")
     compute_only = os.environ.get("SPARK_GRAFT_BENCH_SINK") == "count"
+    kg_only = os.environ.get("SPARK_GRAFT_BENCH_KG_ONLY") == "1"
+    # kg best-of-N (round 4): the host exhibits SPORADIC interference
+    # bursts coupled to JVM execution (~1/3 of trials run 5-20x slower
+    # burning real CPU at near-zero average steal — BENCH.md §H), so a
+    # single kg trial is not citable. Default 2 trials for the driver's
+    # full artifact; 1 when bench_scaling drives (it does its own
+    # best-of-N in separate JVMs) or in compute-only mode.
+    kg_trials = int(os.environ.get("SPARK_GRAFT_BENCH_KG_TRIALS", "0")) or (
+        1 if (compute_only or kg_only) else 2
+    )
     hz = os.sysconf("SC_CLK_TCK")
     # steal gate (VERDICT r3 #5): r2's query section and r3's kg section were
     # both poisoned by hypervisor-steal windows; probe first, wait for a
@@ -131,99 +136,118 @@ def run_bench(
     # artifact says whether its kg number is citable.
     if os.environ.get("SPARK_GRAFT_BENCH_NO_PROBE") != "1":
         kg["probe"] = _wait_clean_window()
-    try:
-        b0, s0, tj0 = _proc_stat()
-        t0 = time.time()
-        if compute_only:
-            # pure-compute variant: one count action drives corpus ->
-            # extraction -> triple assembly with NO stage snapshots. The
-            # sandbox's single shared local disk does not scale with cores
-            # (a cluster's storage bandwidth scales with executors), so
-            # this isolates the job's compute scaling from that artifact.
-            # Uses extract_triples — the PRODUCTION fused per-doc path run
-            # by run_pipeline/entry (cfg.fuse_doc_stage=True), so the
-            # scaling numbers measure the shipped plan, not the relational
-            # fallback.
-            from theta_spark.pipeline import extract_triples
 
-            n_triples = extract_triples(corpus, cfg).count()
-            t_extract = t_all = time.time() - t0
+    def _kg_trial() -> tuple[dict, dict]:
+        """One timed kg run -> (timings_slice, kg_metrics)."""
+        workdir = tempfile.mkdtemp(prefix="kgbench_")
+        tm: dict = {}
+        m: dict = {}
+        try:
+            b0, s0, tj0 = _proc_stat()
+            t0 = time.time()
+            if compute_only:
+                # pure-compute variant: one count action drives corpus ->
+                # extraction -> triple assembly with NO stage snapshots. The
+                # sandbox's single shared local disk does not scale with
+                # cores (a cluster's storage bandwidth scales with
+                # executors), so this isolates the job's compute scaling
+                # from that artifact. Uses extract_triples — the PRODUCTION
+                # fused per-doc path run by run_pipeline/entry.
+                from theta_spark.pipeline import extract_triples
+
+                n_triples = extract_triples(corpus, cfg).count()
+                t_extract = t_all = time.time() - t0
+                b1, s1, tj1 = _proc_stat()
+                tm["kg_pipeline"] = round(t_extract, 3)
+                tm["kg_graph"] = 0.0
+                m.update(
+                    busy_cpu_s=round((b1 - b0) / hz, 1),
+                    steal_cpu_s=round((s1 - s0) / hz, 1),
+                    steal_pct=round(100.0 * (s1 - s0) / max(tj1 - tj0, 1), 1),
+                    n_docs=n_docs,
+                    n_chars=int(n_chars),
+                    n_mentions=-1,
+                    n_triples=n_triples,
+                    triples_per_sec=round(n_triples / t_extract, 1),
+                    docs_per_sec=round(n_docs / t_extract, 1),
+                    mb_per_sec=round(n_chars / 1e6 / t_extract, 2),
+                    end_to_end_sec=round(t_all, 3),
+                    sink="count",
+                )
+                return tm, m
+            if skip_graph:
+                # same stage structure as run_pipeline's fused branch
+                # (mentions snapshot + fused extract_triples re-scoring the
+                # corpus), minus the nodes/edges graph stages
+                from theta_spark.pipeline import (
+                    extract_mentions_df,
+                    extract_triples,
+                    run_checkpointed,
+                )
+
+                mentions = run_checkpointed(
+                    spark, workdir, "mentions",
+                    lambda: extract_mentions_df(corpus, cfg), resume=False,
+                )
+                triples = run_checkpointed(
+                    spark, workdir, "triples",
+                    lambda: extract_triples(corpus, cfg), resume=False,
+                )
+                stages = {"mentions": mentions, "triples": triples}
+            else:
+                stages = run_pipeline(spark, corpus, workdir, cfg, resume=False)
+            t_all = time.time() - t0
             b1, s1, tj1 = _proc_stat()
-            kg.update(
+            m.update(
                 busy_cpu_s=round((b1 - b0) / hz, 1),
                 steal_cpu_s=round((s1 - s0) / hz, 1),
                 steal_pct=round(100.0 * (s1 - s0) / max(tj1 - tj0, 1), 1),
             )
-            timings["kg_pipeline"] = round(t_extract, 3)
-            timings["kg_graph"] = 0.0
-            kg.update(
+            n_mentions = stages["mentions"].count()
+            n_triples = stages["triples"].count()
+            t_extract = _stage_wall(workdir, "mentions") + _stage_wall(workdir, "triples")
+            tm["kg_pipeline"] = round(t_extract, 3)
+            tm["kg_graph"] = round(t_all - t_extract, 3)
+            # per-stage walls IN the artifact (VERDICT r3 #5): kg_graph
+            # decomposes into its stage commits so a regression is isolable
+            # per stage without re-running. nodes/edge_provenance/
+            # scored_docs commit concurrently (pipeline._commit_graph_layer)
+            # — their walls overlap, so the tail ~= max(batch) + edges.
+            m["stage_walls"] = {st: round(_stage_wall(workdir, st), 3) for st in stages}
+            m.update(
                 n_docs=n_docs,
                 n_chars=int(n_chars),
-                n_mentions=-1,
+                n_mentions=n_mentions,
                 n_triples=n_triples,
                 triples_per_sec=round(n_triples / t_extract, 1),
                 docs_per_sec=round(n_docs / t_extract, 1),
                 mb_per_sec=round(n_chars / 1e6 / t_extract, 2),
                 end_to_end_sec=round(t_all, 3),
-                sink="count",
             )
-            raise _BenchDone()
-        if skip_graph:
-            # same stage structure as run_pipeline's fused branch (mentions
-            # snapshot + fused extract_triples re-scoring the corpus), minus
-            # the nodes/edges graph stages
-            from theta_spark.pipeline import extract_mentions_df, extract_triples, run_checkpointed
+            if not skip_graph:
+                m["n_nodes"] = stages["nodes"].count()
+                m["n_edges"] = stages["edges"].count()
+            return tm, m
+        finally:
+            shutil.rmtree(workdir, ignore_errors=True)
 
-            mentions = run_checkpointed(
-                spark, workdir, "mentions", lambda: extract_mentions_df(corpus, cfg), resume=False
-            )
-            triples = run_checkpointed(
-                spark, workdir, "triples", lambda: extract_triples(corpus, cfg), resume=False
-            )
-            stages = {"mentions": mentions, "triples": triples}
-        else:
-            stages = run_pipeline(spark, corpus, workdir, cfg, resume=False)
-        t_all = time.time() - t0
-        b1, s1, tj1 = _proc_stat()
-        kg.update(
-            busy_cpu_s=round((b1 - b0) / hz, 1),
-            steal_cpu_s=round((s1 - s0) / hz, 1),
-            steal_pct=round(100.0 * (s1 - s0) / max(tj1 - tj0, 1), 1),
-        )
-        n_mentions = stages["mentions"].count()
-        n_triples = stages["triples"].count()
-        t_extract = _stage_wall(workdir, "mentions") + _stage_wall(workdir, "triples")
-        timings["kg_pipeline"] = round(t_extract, 3)
-        timings["kg_graph"] = round(t_all - t_extract, 3)
-        # per-stage walls IN the artifact (VERDICT r3 #5): kg_graph
-        # decomposes into its stage commits so a regression is isolable
-        # per stage without re-running. nodes/edge_provenance/scored_docs
-        # commit concurrently (pipeline._commit_graph_layer) — their walls
-        # overlap, so the graph tail ~= max(parallel batch) + edges.
-        kg["stage_walls"] = {
-            st: round(_stage_wall(workdir, st), 3) for st in stages
-        }
-        kg.update(
-            n_docs=n_docs,
-            n_chars=int(n_chars),
-            n_mentions=n_mentions,
-            n_triples=n_triples,
-            triples_per_sec=round(n_triples / t_extract, 1),
-            docs_per_sec=round(n_docs / t_extract, 1),
-            mb_per_sec=round(n_chars / 1e6 / t_extract, 2),
-            end_to_end_sec=round(t_all, 3),
-        )
-        if not skip_graph:
-            kg["n_nodes"] = stages["nodes"].count()
-            kg["n_edges"] = stages["edges"].count()
-    except _BenchDone:
-        pass
-    finally:
-        shutil.rmtree(workdir, ignore_errors=True)
+    kg_all = [_kg_trial() for _ in range(kg_trials)]
+    best_tm, best_m = min(kg_all, key=lambda p: p[1]["end_to_end_sec"])
+    timings.update(best_tm)
+    kg.update(best_m)
+    if kg_trials > 1:
+        kg["trials_all"] = [
+            {
+                "end_to_end_sec": m["end_to_end_sec"],
+                "busy_cpu_s": m["busy_cpu_s"],
+                "steal_pct": m["steal_pct"],
+            }
+            for _, m in kg_all
+        ]
     corpus.unpersist()
 
     # --- representative relational queries (driver-contract subset) ---
-    if os.environ.get("SPARK_GRAFT_BENCH_KG_ONLY") == "1":
+    if kg_only:
         total = round(sum(timings.values()), 3)
         result = {
             "metric": "headline_total_sec", "value": total, "unit": "sec",

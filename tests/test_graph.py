@@ -142,3 +142,76 @@ def test_pagerank_empty_graph(spark):
     out = pagerank(e, iters=2)
     assert out.columns == ["node", "rank_s", "rank"]
     assert out.count() == 0
+
+
+def _py_pagerank_from(edges, init, iters, damping=85):
+    """Replica of the warm-started recurrence: init maps node -> rank_s
+    for known nodes; new nodes start at SCALE // n."""
+    nodes = sorted({u for e in edges for u in e})
+    n = len(nodes)
+    base = SCALE // n
+    outd = {}
+    for s, _ in set(edges):
+        outd[s] = outd.get(s, 0) + 1
+    r = {v: init.get(v, base) for v in nodes}
+    for _ in range(iters):
+        s = {v: 0 for v in nodes}
+        for u, v in set(edges):
+            s[v] += r[u] // outd[u]
+        dm = sum(r[v] for v in nodes if v not in outd)
+        r = {
+            v: ((100 - damping) * base) // 100 + (damping * (s[v] + dm // n)) // 100
+            for v in nodes
+        }
+    return r
+
+
+def test_pagerank_warm_start_matches_replica(spark, edges_df):
+    """Incremental path: prior ranks on a subgraph seed refinement
+    iterations over the full graph; new nodes enter at uniform base."""
+    old_edges = [(u, v) for u, v in EDGES if (u + v) % 5 != 0]
+    old_df = spark.createDataFrame(old_edges, "src: long, dst: long")
+    prior = pagerank(old_df, iters=3)
+    got = {
+        r["node"]: r["rank_s"]
+        for r in pagerank(edges_df, iters=2, init_ranks=prior).collect()
+    }
+    want = _py_pagerank_from(EDGES, _py_pagerank(old_edges, iters=3), iters=2)
+    assert got == want
+
+
+def test_clustering_coefficient_vs_bruteforce(spark, edges_df):
+    from theta_spark.functions.graph import clustering_coefficient
+
+    got = {
+        r["node"]: (r["deg"], r["tri_cnt"], r["lcc"])
+        for r in clustering_coefficient(edges_df).collect()
+    }
+    und = {(min(a, b), max(a, b)) for a, b in EDGES}
+    adj = {}
+    for a, b in und:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    for v, nbrs in adj.items():
+        tri = sum(
+            1 for a, b in itertools.combinations(sorted(nbrs), 2)
+            if (min(a, b), max(a, b)) in und
+        )
+        deg = len(nbrs)
+        lcc = round(2.0 * tri / (deg * (deg - 1)), 6) if deg >= 2 else 0.0
+        assert got[v] == (deg, tri, lcc), v
+    assert set(got) == set(adj)
+
+
+def test_clustering_coefficient_known_shapes(spark):
+    """Hand-checkable: a 4-clique (lcc 1.0 everywhere) plus a path
+    pendant (lcc 0.0, deg<2 guard)."""
+    from theta_spark.functions.graph import clustering_coefficient
+
+    clique = [(a, b) for a, b in itertools.combinations(range(4), 2)]
+    e = spark.createDataFrame(clique + [(3, 4)], "src: long, dst: long")
+    got = {r["node"]: (r["deg"], r["tri_cnt"], r["lcc"])
+           for r in clustering_coefficient(e).collect()}
+    assert got[0] == (3, 3, 1.0) and got[1] == (3, 3, 1.0) and got[2] == (3, 3, 1.0)
+    assert got[3] == (4, 3, 0.5)   # 3 of the C(4,2)=6 neighbor pairs close
+    assert got[4] == (1, 0, 0.0)   # pendant: deg < 2 guard

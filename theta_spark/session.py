@@ -48,10 +48,19 @@ def get_spark(
         # re-attempted — a mildly slow task is never duplicated, so timed
         # benchmark numbers stay honest. Standard practice on real
         # clusters; opt-in here because plan-shape tests count tasks.
+        # minTaskRuntime is the load-bearing guard (measured, round 4): in
+        # stages where most partitions are trivial (empty LSH branch,
+        # near-empty shuffle partitions), P90 task time is ~milliseconds,
+        # so "4x the P90" marked every second-scale interpreted task for
+        # immediate duplication. At local[8]+ there are free slots to run
+        # the duplicates — the 200k-doc candidate phase burned 2x the CPU
+        # and ran 5x SLOWER than local[2] (35s vs 6.5s) until this guard.
+        # A genuine wedge (the 18-min Arrow hang) still speculates at 30s.
         builder = (
             builder.config("spark.speculation", "true")
             .config("spark.speculation.multiplier", "4")
             .config("spark.speculation.quantile", "0.9")
+            .config("spark.speculation.minTaskRuntime", "30s")
         )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
