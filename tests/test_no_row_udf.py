@@ -29,8 +29,17 @@ def test_no_rdd_usage():
 
 def test_no_collect_in_pipeline_hot_path():
     # driver-side collect loops defeat distribution; only queries.py (driver
-    # contract scalar results) and canonicalize's fixpoint count may collect
-    for name in ["pipeline.py", "operators/extract.py", "operators/merge.py",
+    # contract scalar results) and canonicalize's fixpoint count may collect.
+    # ONE documented exception: pipeline.py's stage-lineage commit collects
+    # the per-output-FILE fingerprint rows (driver traffic is bounded by the
+    # file count, never row count) so the manifest+lineage commit is a
+    # single action — anything beyond that one site is a regression.
+    for name in ["operators/extract.py", "operators/merge.py",
                  "operators/triples.py", "operators/segmentation.py"]:
         src = (PKG / name).read_text()
         assert ".collect()" not in src, name
+    pipeline_src = (PKG / "pipeline.py").read_text()
+    sites = [m.start() for m in re.finditer(r"\.collect\(\)", pipeline_src)]
+    assert len(sites) == 1, f"pipeline.py collect sites: {len(sites)}"
+    context = pipeline_src[max(0, sites[0] - 600): sites[0]]
+    assert "lineage" in context  # the bounded per-file lineage commit

@@ -1,0 +1,152 @@
+"""Streaming incremental KG ingest — the streaming twin of
+`pipeline.run_pipeline_incremental`.
+
+A corpus stream (commit firehose: repo/path/commit/lang/content rows,
+the input_hint shape) is ingested epoch by epoch under foreachBatch;
+each epoch scores ONLY docs whose (doc_id, sha256) content key has not
+been scored by an earlier epoch — unchanged re-arrivals cost one
+key-only anti-join, never an Arrow scoring pass. A changed doc (same
+doc_id, new sha256) is re-scored and its new rows SUPERSEDE the old
+ones at read time (keep-latest-epoch per doc_id — compaction-on-read;
+on a cluster the same contract is an Iceberg MERGE INTO, here it is the
+parquet-fallback twin of pipeline.py's snapshot layout).
+
+Exactly-once: every per-epoch output (mentions / triples / scored_docs)
+is an `epoch=<id>` directory written with OVERWRITE, and the delta is
+computed against epochs STRICTLY BELOW the current one — so a crash-
+replayed epoch sees the same prior registry, recomputes the same delta,
+and overwrites its own directories with identical rows (idempotent;
+verified in tests/test_streaming_ingest.py).
+
+Scale shape: the registry is two short string columns per doc (tiny);
+the anti-join shuffles keys only; scoring is delta-proportional; the
+keep-latest resolution is one window over doc_id — all operations
+partition horizontally. State lives in the table layout, not executor
+memory, so the stream can run for years.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from theta_spark.config import PipelineConfig
+from theta_spark.pipeline import extract_mentions_df, extract_triples, with_doc_id
+
+STAGES = ("mentions", "triples", "scored_docs")
+
+
+def _prior_registry(spark: SparkSession, out_dir: str, epoch_id: int) -> DataFrame | None:
+    """(doc_id, sha256) scored by epochs < epoch_id, or None on the first
+    epoch. Reading strictly-below epochs is what makes a crash-replayed
+    epoch recompute the SAME delta it computed the first time."""
+    try:
+        reg = spark.read.parquet(f"{out_dir}/scored_docs")
+    except Exception:  # first epoch: no registry yet  # noqa: BLE001
+        return None
+    return reg.where(F.col("epoch") < F.lit(epoch_id)).select("doc_id", "sha256")
+
+
+def process_corpus_batch_incremental(
+    batch_df: DataFrame, out_dir: str, epoch_id: int, cfg: PipelineConfig | None = None
+) -> None:
+    """foreachBatch body: score the epoch's NEW/CHANGED docs only.
+
+    Writes (all epoch-keyed OVERWRITE — idempotent under replay):
+      out_dir/mentions/epoch=<id>     rows for this epoch's delta docs
+      out_dir/triples/epoch=<id>
+      out_dir/scored_docs/epoch=<id>  every (doc_id, sha256) this epoch
+                                      scored — INCLUDING zero-yield docs,
+                                      the registry row-bearing stages
+                                      cannot witness (same reasoning as
+                                      pipeline.py's scored_docs stage).
+    """
+    cfg = cfg or PipelineConfig()
+    spark = batch_df.sparkSession
+    docs = with_doc_id(batch_df)
+    prior = _prior_registry(spark, out_dir, epoch_id)
+    if prior is not None:
+        docs = docs.join(prior, ["doc_id", "sha256"], "left_anti")
+    delta = docs.select("repo", "path", "commit", "lang", F.col("text").alias("content"))
+    # one materialization: mentions, triples and the registry all derive
+    # from the (small) delta corpus; without the cut each writer would
+    # re-run the anti-join + doc_id derivation
+    delta = delta.localCheckpoint(eager=True)
+    extract_mentions_df(delta, cfg).write.mode("overwrite").parquet(
+        f"{out_dir}/mentions/epoch={epoch_id}"
+    )
+    extract_triples(delta, cfg).write.mode("overwrite").parquet(
+        f"{out_dir}/triples/epoch={epoch_id}"
+    )
+    with_doc_id(delta).select("doc_id", "sha256").distinct().write.mode("overwrite").parquet(
+        f"{out_dir}/scored_docs/epoch={epoch_id}"
+    )
+
+
+def attach_stream_incremental(
+    corpus_stream: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    cfg: PipelineConfig | None = None,
+):
+    """corpus readStream -> writeStream.foreachBatch(incremental ingest).
+    Returns the StreamingQuery; exactly-once = streaming checkpoint
+    (epoch replay) + the idempotent strictly-below-epoch delta above."""
+    return (
+        corpus_stream.writeStream.option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(
+            lambda df, epoch: process_corpus_batch_incremental(df, out_dir, epoch, cfg)
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_resolved_stage(spark: SparkSession, out_dir: str, stage: str) -> DataFrame:
+    """Keep-latest-epoch resolution: a doc re-scored in a later epoch
+    (content changed) supersedes its earlier rows. One window max over
+    doc_id — the parquet-fallback twin of an Iceberg MERGE; `epoch` is
+    dropped from the result so downstream consumers see the same schema
+    the batch pipeline produces.
+
+    Zero-yield semantics: the max epoch is taken from the scored_docs
+    REGISTRY, not from the stage's own rows — a doc whose latest version
+    legitimately yields nothing would otherwise resurrect its stale rows
+    (the registry always witnesses the re-score; row-bearing stages
+    cannot)."""
+    df = spark.read.parquet(f"{out_dir}/{stage}")
+    if stage == "scored_docs":
+        w = Window.partitionBy("doc_id")
+        return (
+            df.withColumn("_mx", F.max("epoch").over(w))
+            .where(F.col("epoch") == F.col("_mx"))
+            .drop("_mx", "epoch")
+        )
+    latest = (
+        spark.read.parquet(f"{out_dir}/scored_docs")
+        .groupBy("doc_id")
+        .agg(F.max("epoch").alias("epoch"))
+    )
+    return df.join(latest, ["doc_id", "epoch"], "left_semi").drop("epoch")
+
+
+def finalize_graph(
+    spark: SparkSession,
+    out_dir: str,
+    graph_dir: str,
+    cfg: PipelineConfig | None = None,
+) -> dict:
+    """Materialize the graph layer (nodes / edge_provenance / edges) from
+    the stream's resolved mentions + triples, via the SAME checkpointed
+    commit path the batch pipeline uses (pipeline._commit_graph_layer:
+    concurrent independent commits, partitioned tables, 1-action
+    lineage). Entity canonicalization is corpus-global, so the graph is a
+    periodic batch finalize over the accumulated stream — the standard
+    lambda-handoff — not a per-epoch rebuild."""
+    from theta_spark.pipeline import _commit_graph_layer
+
+    cfg = cfg or PipelineConfig()
+    mentions = read_resolved_stage(spark, out_dir, "mentions")
+    triples = read_resolved_stage(spark, out_dir, "triples")
+    graph = _commit_graph_layer(spark, graph_dir, triples, mentions, cfg, resume=False)
+    return {"mentions": mentions, "triples": triples, **graph}
