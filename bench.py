@@ -332,7 +332,8 @@ def run_bench(
         from bench_scaling import run_level
 
         try:
-            l8 = run_level(8, sf_dir, n_docs, skip_graph=False, kg_only=True)
+            # best-of-2, matching the local[32] headline's methodology
+            l8 = run_level(8, sf_dir, n_docs, skip_graph=False, kg_only=True, kg_trials=2)
             result["kg_local8"] = {
                 "kg_pipeline": l8["queries"].get("kg_pipeline"),
                 "kg_graph": l8["queries"].get("kg_graph"),

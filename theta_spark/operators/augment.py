@@ -51,27 +51,58 @@ def _pos(id_col, tag: str, seed: int, n) -> "F.Column":
     return (F.lit(1) + F.pmod(_h32(F.col(id_col), F.lit(f"#{tag}#{seed}")), n)).cast("int")
 
 
-def vocab_index(docs: DataFrame, text_col: str = "text") -> DataFrame:
+def vocab_index(docs: DataFrame, text_col: str = "text", bucket_chars: int = 2) -> DataFrame:
     """The reference's token index (augment.py:17-28) built distributed:
     whitespace token -> document frequency -> cumulative [lo, hi) share
-    of [0, 1). The cum-window runs on ONE partition by design — the vocab
-    is the aggregated small side (heavy-hitter tokens), never the corpus.
-    -> (token, lo, hi) ordered by token."""
+    of [0, 1). -> (token, lo, hi); ordering/intervals identical to a
+    global ORDER BY token cumsum.
+
+    TWO-PHASE prefix sum (VERDICT r4 #3 — the old unpartitioned
+    orderBy-token window ran the whole vocab cumsum on ONE task; a 100-TB
+    code corpus has 10^8+ distinct tokens):
+
+      1. within-bucket cumsum: Window.partitionBy(bkt).orderBy(token)
+         where bkt = the token's first `bucket_chars` chars — a PREFIX of
+         the sort key, so (bkt, token) ordering == global token ordering
+         and buckets are contiguous token ranges;
+      2. per-bucket offsets: total dfreq of all strictly-smaller buckets,
+         via a tiny triangular self-join over the per-bucket totals (no
+         window at all). |buckets| is bounded by the alphabet^bucket_chars
+         of token first-chars (a few thousand for code), so the join is
+         O(B^2) over an aggregated side that does not grow with the
+         corpus; raise bucket_chars if a corpus concentrates tokens under
+         few prefixes.
+
+    lo/hi stay INTEGER sums until the final division, so the result is
+    bit-identical to the single-window formula (and to the DuckDB oracle).
+    """
     vocab = (
         docs.select(F.explode(F.array_distinct(F.split(F.col(text_col), " "))).alias("token"))
         .where(F.col("token") != "")
         .groupBy("token")
         .agg(F.count("*").alias("dfreq"))
+        .withColumn("bkt", F.substring("token", 1, bucket_chars))
     )
-    w = Window.orderBy("token")
-    total = Window.partitionBy()
-    return vocab.select(
-        "token",
-        (
-            F.coalesce(F.sum("dfreq").over(w.rowsBetween(Window.unboundedPreceding, -1)), F.lit(0))
-            / F.sum("dfreq").over(total)
-        ).alias("lo"),
-        (F.sum("dfreq").over(w.rowsBetween(Window.unboundedPreceding, 0)) / F.sum("dfreq").over(total)).alias("hi"),
+    w_in = Window.partitionBy("bkt").orderBy("token")
+    vocab = vocab.withColumn(
+        "cum_in", F.sum("dfreq").over(w_in.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    totals = vocab.groupBy("bkt").agg(F.sum("dfreq").alias("bt"))
+    offs = (
+        totals.alias("a")
+        .join(totals.alias("b"), F.col("b.bkt") < F.col("a.bkt"), "left")
+        .groupBy(F.col("a.bkt").alias("bkt"))
+        .agg(F.coalesce(F.sum("b.bt"), F.lit(0)).alias("off"))
+    )
+    grand = totals.agg(F.sum("bt").alias("grand"))
+    return (
+        vocab.join(F.broadcast(offs), "bkt")
+        .crossJoin(F.broadcast(grand))
+        .select(
+            "token",
+            ((F.col("off") + F.col("cum_in") - F.col("dfreq")) / F.col("grand")).alias("lo"),
+            ((F.col("off") + F.col("cum_in")) / F.col("grand")).alias("hi"),
+        )
     )
 
 

@@ -280,15 +280,30 @@ def stage_manifest(workdir: str, stage: str) -> dict:
         return json.load(f)
 
 
+# config fields that determine the ROWS of the mentions/triples stages.
+# Deliberately excluded (ADVICE r4): graph-layer knobs (shingle_k,
+# minhash_rows, lsh_bands, jaccard_threshold, cc_max_iters) and physical
+# knobs (fuse_doc_stage — both paths are differentially tested
+# row-identical — shuffle_partitions, salt_buckets, hot_key_threshold):
+# changing those leaves prior mention/triple rows valid, so an incremental
+# merge against them must NOT be rejected as config drift.
+_EXTRACTION_CFG_FIELDS = (
+    "max_length", "confidence", "min_mention_len",
+    "scorer", "decoder", "gp_max_span", "labels",
+)
+
+
 def _cfg_fingerprint(cfg) -> str:
-    """Order-stable JSON of the extraction-relevant config: recorded in the
-    mentions/triples stage manifests and validated by incremental runs
+    """Order-stable JSON of the extraction-relevant config (the fields that
+    change mention/triple ROWS — see _EXTRACTION_CFG_FIELDS): recorded in
+    the mentions/triples stage manifests and validated by incremental runs
     before merging prior rows (a config drift between runs would otherwise
     fail late with a union/column error — or worse, silently mix rows
     scored under different heads)."""
     import dataclasses
 
-    return json.dumps(dataclasses.asdict(cfg), sort_keys=True, default=str)
+    full = dataclasses.asdict(cfg)
+    return json.dumps({k: full[k] for k in _EXTRACTION_CFG_FIELDS}, sort_keys=True, default=str)
 
 
 def read_stage(spark: SparkSession, workdir: str, stage: str) -> DataFrame:
@@ -404,13 +419,26 @@ def run_pipeline_incremental(
     # models. Old snapshots without a recorded config fall back to a
     # column-set check at union time (unionByName still fails loud).
     for st in ("mentions", "triples"):
-        prior_cfg = stage_manifest(prior_workdir, st).get("config")
+        manifest = stage_manifest(prior_workdir, st)
+        prior_cfg = manifest.get("config")
         if prior_cfg is not None and prior_cfg != cfg_fp:
             raise ValueError(
                 f"incremental run config does not match prior run's {st} stage: "
                 f"prior={prior_cfg} current={cfg_fp}; re-run full (or pass the "
                 "prior config) — merging rows scored under different configs "
                 "is not meaningful"
+            )
+        if prior_cfg is None and manifest:
+            # pre-config snapshot (ADVICE r4): drift against it is
+            # UNVERIFIABLE — say so loudly instead of silently skipping;
+            # an identical-column-set drift would otherwise merge silently.
+            import warnings
+
+            warnings.warn(
+                f"prior {st} stage at {prior_workdir} predates config recording: "
+                "config drift cannot be validated; the merge proceeds on "
+                "column-set compatibility only. Re-run full once to stamp it.",
+                stacklevel=2,
             )
 
     # prior scored-docs REGISTRY: every (doc_id, sha256) the prior run

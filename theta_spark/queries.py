@@ -794,17 +794,101 @@ def mm_media_features(spark, sf_dir):
     return extract_media_features(media, fake_decode=True).orderBy("media_id")
 
 
-# rows-only: the flagship KG pipeline itself on the synthetic corpus (the
-# 3-way differential in tests/ is its correctness gate; DuckDB cannot run
-# the pandas-UDF scoring stage).
-@query("kg_triples")
+# The flagship KG pipeline, hash-checked: the engine runs the FULL
+# segment -> score -> decode -> dedup -> triple-assembly dataflow over the
+# synthetic corpus; the oracle derives the gold triple set STRUCTURALLY in
+# SQL (corpus.KeyedDraws replayed as md5 draws — fully independent of the
+# engine's dataflow), so any regression anywhere in the pipeline flips
+# rows/hash red. DuckDB cannot run the pandas-UDF scoring stage itself;
+# deriving gold from the same keyed draws is the stronger check anyway
+# (it is the generation-time truth, not a second decode).
+# sha256(content) rides the engine's triple rows internally (input_hint
+# invariant, asserted in tests); it is projected out here because the
+# oracle would otherwise have to rebuild full file contents in SQL.
+@query(
+    "kg_triples",
+    r"""
+    WITH ids AS (
+      SELECT unnest(generate_series(0, (SELECT COUNT(*) FROM documents) - 1)) AS i
+    ),
+    d AS (
+      SELECT i,
+             'org' || (i % 7) || '/proj' || (i % 13) AS repo,
+             'src/pkg' || (i % 5) || '/mod' || i || '.py' AS path,
+             'mod' || i AS mod,
+             'helper' || (i % 9) AS helper,
+             1 + ('0x' || substr(md5('42:' || i || ':nlibs'), 1, 8))::BIGINT % 3 AS n_libs,
+             ('0x' || substr(md5('42:' || i || ':libo'), 1, 8))::BIGINT % 6 AS libo,
+             ('0x' || substr(md5('42:' || i || ':prof'), 1, 8))::BIGINT % 4 AS prof,
+             ('0x' || substr(md5('42:' || i || ':hot'), 1, 8))::BIGINT % 5 = 0 AS hot
+      FROM ids
+    ),
+    dd AS (
+      SELECT *,
+             repo || ':' || path || '@' || md5(repo || '/' || path) AS doc_id,
+             CASE prof WHEN 0 THEN 0 WHEN 1 THEN 1 WHEN 2 THEN 1 ELSE 2 END AS n_classes,
+             CASE prof WHEN 0 THEN 1 WHEN 1 THEN 2 WHEN 2 THEN 4 ELSE 7 END AS n_funcs
+      FROM d
+    ),
+    libs AS (
+      SELECT mod AS subj, 'imports' AS pred,
+             ['numpy', 'path', 'abc', 'jsonlib', 'client', 'logkit'][1 + (libo + j) % 6] AS obj,
+             doc_id
+      FROM dd, unnest(range(0, n_libs)) AS t(j)
+    ),
+    cls AS (
+      SELECT dd.*, c,
+             'handler' || (i % 11) || '_' || c AS cname,
+             1 + ('0x' || substr(md5('42:' || i || ':nm' || c), 1, 8))::BIGINT % 2 AS n_methods
+      FROM dd, unnest(range(0, n_classes)) AS t(c)
+    ),
+    cls_def AS (SELECT mod AS subj, 'defines' AS pred, cname AS obj, doc_id FROM cls),
+    meth AS (
+      SELECT cls.*, m,
+             'process' || (i % 11) || '_' || c || '_' || m AS mname,
+             CASE WHEN hot THEN 'shared_util'
+                  WHEN ('0x' || substr(md5('42:' || i || ':mc' || c || '_' || m), 1, 8))::BIGINT % 2 = 0
+                       THEN 'shared_util' ELSE helper END AS callee
+      FROM cls, unnest(range(0, n_methods)) AS t(m)
+    ),
+    meth_contains AS (SELECT cname AS subj, 'contains' AS pred, mname AS obj, doc_id FROM meth),
+    meth_calls AS (SELECT mname AS subj, 'calls' AS pred, callee AS obj, doc_id FROM meth),
+    fns AS (
+      SELECT dd.*, f,
+             helper || '_' || f AS fname,
+             CASE WHEN hot AND f % 2 = 0 THEN 'shared_util'
+                  WHEN ('0x' || substr(md5('42:' || i || ':fc' || f), 1, 8))::BIGINT % 2 = 0
+                       THEN 'shared_util' ELSE helper END AS callee
+      FROM dd, unnest(range(0, n_funcs)) AS t(f)
+    ),
+    fn_def AS (SELECT mod AS subj, 'defines' AS pred, fname AS obj, doc_id FROM fns),
+    fn_calls AS (SELECT fname AS subj, 'calls' AS pred, callee AS obj, doc_id FROM fns),
+    inst AS (
+      SELECT fname AS subj, 'calls' AS pred, 'handler' || (i % 11) || '_0' AS obj, doc_id
+      FROM fns WHERE f = 0 AND n_classes > 0
+      UNION ALL
+      SELECT 'h', 'instance_of', 'handler' || (i % 11) || '_0', doc_id
+      FROM fns WHERE f = 0 AND n_classes > 0
+    )
+    SELECT DISTINCT subj, pred, obj, doc_id FROM (
+      SELECT * FROM libs UNION ALL SELECT * FROM cls_def
+      UNION ALL SELECT * FROM meth_contains UNION ALL SELECT * FROM meth_calls
+      UNION ALL SELECT * FROM fn_def UNION ALL SELECT * FROM fn_calls
+      UNION ALL SELECT * FROM inst
+    ) ORDER BY doc_id, pred, subj, obj
+    """,
+)
 def kg_triples(spark, sf_dir):
     from theta_spark.corpus import corpus_df
     from theta_spark.pipeline import extract_triples
 
     n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
     corpus, _ = corpus_df(spark, n_docs, seed=42, num_partitions=8, with_docs=False)
-    return extract_triples(corpus).orderBy("doc_id", "pred", "subj", "obj")
+    return (
+        extract_triples(corpus)
+        .select("subj", "pred", "obj", "doc_id")
+        .orderBy("doc_id", "pred", "subj", "obj")
+    )
 
 
 @query(

@@ -27,6 +27,8 @@ memory, so the stream can run for years.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -35,15 +37,57 @@ from theta_spark.pipeline import extract_mentions_df, extract_triples, with_doc_
 
 STAGES = ("mentions", "triples", "scored_docs")
 
+# Expected stage schemas (epoch is the partition-dir column). Used as the
+# read fallback when every epoch so far yielded zero rows for a stage —
+# the dirs then hold only _SUCCESS markers and schema inference fails,
+# unlike the batch pipeline whose manifests record the schema (ADVICE r4).
+STAGE_SCHEMAS = {
+    "mentions": (
+        "doc_id string, sha256 string, category_id int, start int, end int, "
+        "mention string, indent int, category string, norm string, epoch int"
+    ),
+    "triples": "subj string, pred string, obj string, doc_id string, sha256 string, epoch int",
+    "scored_docs": "doc_id string, sha256 string, epoch int",
+}
+
+
+def _read_stage_parquet(spark: SparkSession, out_dir: str, stage: str) -> DataFrame:
+    """Read a stage across its epoch dirs; when inference fails because no
+    epoch has written a data file yet (all-zero-yield corpus), read with
+    the declared schema instead of erroring."""
+    from pyspark.errors import AnalysisException
+
+    path = f"{out_dir}/{stage}"
+    try:
+        return spark.read.parquet(path)
+    except AnalysisException as exc:
+        if "UNABLE_TO_INFER_SCHEMA" not in str(exc) and "infer schema" not in str(exc).lower():
+            raise
+        return spark.read.schema(STAGE_SCHEMAS[stage]).parquet(path)
+
+
+def _registry_epoch_dirs(out_dir: str, stage: str = "scored_docs") -> list[str]:
+    """The stage's epoch=<id> directories (empty list when the stage does
+    not exist yet). Listing explicitly — rather than catching a broad read
+    exception — keeps 'first epoch' distinct from 'registry unreadable'
+    (ADVICE r4: a corrupt/unreadable registry must PROPAGATE, not silently
+    degrade into a score-everything epoch that masks the real error)."""
+    root = os.path.join(out_dir, stage)
+    if not os.path.isdir(root):
+        return []
+    return sorted(
+        d for d in os.listdir(root)
+        if d.startswith("epoch=") and os.path.isdir(os.path.join(root, d))
+    )
+
 
 def _prior_registry(spark: SparkSession, out_dir: str, epoch_id: int) -> DataFrame | None:
     """(doc_id, sha256) scored by epochs < epoch_id, or None on the first
     epoch. Reading strictly-below epochs is what makes a crash-replayed
     epoch recompute the SAME delta it computed the first time."""
-    try:
-        reg = spark.read.parquet(f"{out_dir}/scored_docs")
-    except Exception:  # first epoch: no registry yet  # noqa: BLE001
-        return None
+    if not _registry_epoch_dirs(out_dir):
+        return None  # first epoch: no registry yet
+    reg = _read_stage_parquet(spark, out_dir, "scored_docs")
     return reg.where(F.col("epoch") < F.lit(epoch_id)).select("doc_id", "sha256")
 
 
@@ -114,7 +158,7 @@ def read_resolved_stage(spark: SparkSession, out_dir: str, stage: str) -> DataFr
     legitimately yields nothing would otherwise resurrect its stale rows
     (the registry always witnesses the re-score; row-bearing stages
     cannot)."""
-    df = spark.read.parquet(f"{out_dir}/{stage}")
+    df = _read_stage_parquet(spark, out_dir, stage)
     if stage == "scored_docs":
         w = Window.partitionBy("doc_id")
         return (
@@ -123,7 +167,7 @@ def read_resolved_stage(spark: SparkSession, out_dir: str, stage: str) -> DataFr
             .drop("_mx", "epoch")
         )
     latest = (
-        spark.read.parquet(f"{out_dir}/scored_docs")
+        _read_stage_parquet(spark, out_dir, "scored_docs")
         .groupBy("doc_id")
         .agg(F.max("epoch").alias("epoch"))
     )
