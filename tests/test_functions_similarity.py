@@ -132,3 +132,54 @@ def test_kmeans_cells_lloyd_deterministic_and_clusters(spark):
     evens = {m1[i] for i in range(0, 40, 2)}
     odds = {m1[i] for i in range(1, 40, 2)}
     assert len(evens) == 1 and len(odds) == 1 and evens != odds
+
+
+def test_kmeans_assign_arrow_matches_literal(spark):
+    """The broadcast-codebook Arrow assignment (scale path for large k) is
+    bit-identical to the literal-codegen path on the same data — same
+    half-up 1e-4 rounding, same lowest-cell tie rule — and the "auto"
+    dispatch picks Arrow above literal_max_k (pinned: the 64-cell driver
+    query exercises mapInPandas, not a 64-wide literal plan)."""
+    import numpy as np
+
+    from theta_spark.functions.similarity import kmeans_cells_lloyd
+
+    rng = np.random.default_rng(7)
+    rows = [(i, rng.normal(0, 1, 16).tolist()) for i in range(120)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    for k, iters in ((6, 2), (24, 1)):
+        a_lit, c_lit = kmeans_cells_lloyd(df, k=k, iters=iters, assign_impl="literal")
+        a_arw, c_arw = kmeans_cells_lloyd(df, k=k, iters=iters, assign_impl="arrow")
+        assert c_lit == c_arw  # identical trained codebook
+        m_lit = {r.vec_id: r.cell for r in a_lit.collect()}
+        m_arw = {r.vec_id: r.cell for r in a_arw.collect()}
+        assert m_lit == m_arw and len(m_lit) == 120
+
+    # chunked argmax: a chunk boundary inside the codebook changes nothing
+    from theta_spark.functions.similarity import _assign_cells_arrow, with_unit_vec
+    from pyspark.sql import functions as F
+
+    u = with_unit_vec(df).select(F.col("vec_id").alias("_vid"), "unit")
+    _, cents = kmeans_cells_lloyd(df, k=24, iters=1, assign_impl="arrow")
+    whole = {r._vid: r.cell for r in _assign_cells_arrow(u, cents).collect()}
+    chunked = {r._vid: r.cell for r in _assign_cells_arrow(u, cents, chunk_k=5).collect()}
+    assert whole == chunked
+
+
+def test_kmeans_auto_dispatch_threshold(spark):
+    """auto == literal at k<=literal_max_k and == arrow above: both sides
+    of the threshold produce the same assignments as their forced twins."""
+    import numpy as np
+
+    from theta_spark.functions.similarity import kmeans_cells_lloyd
+
+    rng = np.random.default_rng(11)
+    rows = [(i, rng.normal(0, 1, 8).tolist()) for i in range(60)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    a_auto, c_auto = kmeans_cells_lloyd(df, k=20, iters=1, assign_impl="auto", literal_max_k=16)
+    a_arw, c_arw = kmeans_cells_lloyd(df, k=20, iters=1, assign_impl="arrow")
+    assert c_auto == c_arw
+    assert {r.vec_id: r.cell for r in a_auto.collect()} == {
+        r.vec_id: r.cell for r in a_arw.collect()
+    }

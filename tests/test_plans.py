@@ -163,3 +163,26 @@ def test_kfold_two_phase_exact_sizes(spark):
         det = kfold_assign(d, k, order_col="o_orderkey")
         rows = sorted((r["o_orderkey"], r["fold"]) for r in det.collect())
         assert all(f == i % k for i, (_, f) in enumerate(rows))
+
+
+def test_large_codebook_assignment_plan_shape(spark):
+    """k=64 IVF assignment goes through ONE MapInPandas stage with a
+    broadcast codebook — the physical plan must not carry k literal score
+    columns (plan size O(1) in k), while the tiny-k path stays pure
+    codegen with NO Python stage. This pins VERDICT r4 #3's fix."""
+    import numpy as np
+
+    from theta_spark.functions.similarity import kmeans_cells_lloyd
+
+    rng = np.random.default_rng(5)
+    rows = [(i, rng.normal(0, 1, 8).tolist()) for i in range(200)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    big, _ = kmeans_cells_lloyd(df, k=64, iters=1)  # auto -> arrow
+    plan_big = big._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in plan_big
+    assert "_s63" not in plan_big  # no per-centroid literal columns
+
+    small, _ = kmeans_cells_lloyd(df, k=4, iters=1)  # auto -> literal
+    plan_small = small._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" not in plan_small

@@ -187,6 +187,74 @@ def ivf_topk_multiprobe(
     )
 
 
+def _assign_cells_literal(u: DataFrame, cents_) -> DataFrame:
+    """Tiny-codebook assignment: each centroid rides the plan as a LITERAL
+    array, the argmax is pure whole-stage codegen over one corpus scan —
+    zero shuffle, zero Python. Right shape only while k is small: a k-wide
+    literal select grows the plan (and codegen) linearly in k."""
+    sims = [
+        F.round(_dot(F.col("unit"), F.array([F.lit(x) for x in vec])), 4).alias(f"_s{c}")
+        for c, vec in cents_
+    ]
+    scored = u.select("_vid", "unit", *sims)
+    best = F.greatest(*[F.col(f"_s{c}") for c, _ in cents_])
+    cell = None
+    for c, _ in cents_:  # ascending cell order = lowest cell wins ties
+        cond = F.col(f"_s{c}") == best
+        cell = F.when(cond, c) if cell is None else cell.when(cond, c)
+    return scored.select("_vid", "unit", cell.alias("cell"))
+
+
+def _assign_cells_arrow(u: DataFrame, cents_, chunk_k: int = 1024) -> DataFrame:
+    """Large-codebook assignment: the codebook is a BROADCAST numpy matrix
+    (one copy per executor, not a plan literal), assignment is an Arrow-
+    batched chunked matmul + argmax inside mapInPandas — per-row cost grows
+    O(k*dim) in FLOPs while the plan stays O(1) columns regardless of k
+    (the scale fix for nlist in the thousands; VERDICT r4 #3). Still one
+    corpus scan, zero shuffle.
+
+    Semantics are bit-identical to the literal path: similarities are
+    rounded HALF-UP to 4 decimals (matching Spark's F.round / DuckDB's
+    ROUND, not numpy's half-even) before the argmax, and the LOWEST cell
+    wins ties — chunks are scanned in ascending-cell order with a strict
+    `>` improvement test, so an equal-rounded later cell never displaces
+    an earlier one."""
+    import numpy as np
+    import pandas as pd
+
+    sc = u.sparkSession.sparkContext
+    cells_list = [int(c) for c, _ in cents_]
+    mat = np.asarray([v for _, v in cents_], dtype=np.float64).T  # dim x k, cell-ascending
+    bc = sc.broadcast((cells_list, mat))
+
+    def gen(batches):
+        cells_arr_, mat_ = bc.value
+        cells_arr_ = np.asarray(cells_arr_, dtype=np.int64)
+        for pdf in batches:
+            if len(pdf) == 0:
+                yield pd.DataFrame({"_vid": pdf["_vid"], "unit": pdf["unit"], "cell": []})
+                continue
+            m = np.asarray(pdf["unit"].tolist(), dtype=np.float64)  # n x dim
+            best_val = None
+            best_cell = None
+            for s in range(0, mat_.shape[1], chunk_k):
+                sims = m @ mat_[:, s : s + chunk_k]
+                r = np.floor(np.abs(sims) * 1e4 + 0.5) / 1e4 * np.sign(sims)
+                loc = np.argmax(r, axis=1)  # first (lowest-cell) max within chunk
+                val = r[np.arange(len(r)), loc]
+                cell = cells_arr_[s : s + chunk_k][loc]
+                if best_val is None:
+                    best_val, best_cell = val, cell
+                else:
+                    take = val > best_val  # strict: earlier chunk keeps rounded ties
+                    best_val = np.where(take, val, best_val)
+                    best_cell = np.where(take, cell, best_cell)
+            yield pd.DataFrame({"_vid": pdf["_vid"], "unit": pdf["unit"], "cell": best_cell})
+
+    vid_type = dict(u.dtypes)["_vid"]
+    return u.mapInPandas(gen, schema=f"_vid {vid_type}, unit array<double>, cell int")
+
+
 def kmeans_cells_lloyd(
     corpus: DataFrame,
     k: int = 4,
@@ -194,15 +262,19 @@ def kmeans_cells_lloyd(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     decimals: int = 6,
+    assign_impl: str = "auto",
+    literal_max_k: int = 16,
 ):
     """Spark-side Lloyd's k-means over the unit vectors — the real coarse
     quantizer for IVF (replacing the precomputed `label` stand-in):
 
     - init: the unit vectors of the k smallest ids (deterministic, no RNG);
     - assign: argmax of the ROUNDED dot against each centroid, lowest cell
-      on ties. The codebook is tiny by design, so centroids ride the plan
-      as LITERAL arrays — the assignment is pure whole-stage codegen over
-      one corpus scan, zero shuffle (no window, no join);
+      on ties. Two physical paths behind the same contract, dispatched on
+      k (`assign_impl`: "literal" | "arrow" | "auto"): literal plan-column
+      codegen while the codebook is tiny, broadcast-codebook Arrow matmul
+      once k would bloat the plan (k > `literal_max_k`) — both one corpus
+      scan, zero shuffle, identical rounding/tie rules (pinned by test);
     - update: per-dim mean of member units via one (cell, pos)-keyed
       shuffle of k*dim groups, ROUNDed so both engines and any partition
       order reproduce the same codebook; an emptied cell drops out
@@ -217,18 +289,12 @@ def kmeans_cells_lloyd(
     init_rows = u.orderBy("_vid").limit(k).collect()
     cents = [(i, [float(x) for x in r["unit"]]) for i, r in enumerate(init_rows)]
 
+    use_arrow = assign_impl == "arrow" or (assign_impl == "auto" and k > literal_max_k)
+
     def assign(cents_):
-        sims = [
-            F.round(_dot(F.col("unit"), F.array([F.lit(x) for x in vec])), 4).alias(f"_s{c}")
-            for c, vec in cents_
-        ]
-        scored = u.select("_vid", "unit", *sims)
-        best = F.greatest(*[F.col(f"_s{c}") for c, _ in cents_])
-        cell = None
-        for c, _ in cents_:  # ascending cell order = lowest cell wins ties
-            cond = F.col(f"_s{c}") == best
-            cell = F.when(cond, c) if cell is None else cell.when(cond, c)
-        return scored.select("_vid", "unit", cell.alias("cell"))
+        if use_arrow:
+            return _assign_cells_arrow(u, cents_)
+        return _assign_cells_literal(u, cents_)
 
     for _ in range(iters):
         assigned = assign(cents)

@@ -1609,13 +1609,18 @@ def kg_triples_prf_mlp(spark, sf_dir):
     )
 
 
-@query(
-    "sim_ivf_kmeans_topk",
-    _UNIT_CTE
-    + r"""
+def _ivf_kmeans_sql(k: int) -> str:
+    """Oracle for the Lloyd-trained IVF top-k, parameterized on codebook
+    size: one k-means round (init = unit vectors of the k smallest ids)
+    unrolled structurally in SQL, then the single-probe IVF join. The SAME
+    SQL shape serves both the literal-codebook path (tiny k) and the
+    broadcast-Arrow path (large k) — the oracle sees only the contract."""
+    return (
+        _UNIT_CTE
+        + rf"""
     , cent0 AS (
       SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cell, unit AS cvec
-      FROM (SELECT vec_id, unit FROM u ORDER BY vec_id LIMIT 4)
+      FROM (SELECT vec_id, unit FROM u ORDER BY vec_id LIMIT {k})
     ), a1 AS (
       SELECT vec_id, unit, cell FROM (
         SELECT u.vec_id, u.unit, c.cell,
@@ -1650,8 +1655,11 @@ def kg_triples_prf_mlp(spark, sf_dir):
       SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rk
       FROM scored
     ) WHERE rk <= 5 ORDER BY query_id, rk
-    """,
-)
+    """
+    )
+
+
+@query("sim_ivf_kmeans_topk", _ivf_kmeans_sql(4))
 def sim_ivf_kmeans_topk(spark, sf_dir):
     """IVF top-k over a LEARNED coarse quantizer: one deterministic
     Lloyd's round (k=4, init = unit vectors of the 4 smallest ids) trains
@@ -1665,6 +1673,25 @@ def sim_ivf_kmeans_topk(spark, sf_dir):
 
     e = _load(spark, sf_dir, "embeddings")
     assign, _cents = kmeans_cells_lloyd(e, k=4, iters=1)
+    with_cells = e.join(assign, on="vec_id")
+    qs = with_cells.filter(F.col("vec_id") % 25 == 0)
+    return ivf_topk(with_cells, qs, k=5, cell_col="cell").orderBy("query_id", "rk")
+
+
+@query("sim_ivf_kmeans64_topk", _ivf_kmeans_sql(64))
+def sim_ivf_kmeans64_topk(spark, sf_dir):
+    """IVF top-k with a LARGE codebook (nlist=64): exercises the broadcast-
+    codebook Arrow assignment path (functions/similarity.py
+    _assign_cells_arrow) — centroids ship as ONE broadcast numpy matrix and
+    each Arrow batch does a chunked matmul argmax, so the plan stays O(1)
+    columns while per-row assignment cost grows O(k*dim) FLOPs. This is the
+    shape a 100-TB ANN index needs (nlist in the thousands); the k=4 twin
+    above keeps the literal-codegen path honest. Same oracle template,
+    LIMIT 64."""
+    from theta_spark.functions.similarity import ivf_topk, kmeans_cells_lloyd
+
+    e = _load(spark, sf_dir, "embeddings")
+    assign, _cents = kmeans_cells_lloyd(e, k=64, iters=1)
     with_cells = e.join(assign, on="vec_id")
     qs = with_cells.filter(F.col("vec_id") % 25 == 0)
     return ivf_topk(with_cells, qs, k=5, cell_col="cell").orderBy("query_id", "rk")
