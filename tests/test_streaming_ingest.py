@@ -110,3 +110,98 @@ def test_epoch_replay_idempotent_incremental(spark, tmp_path):
     reg = spark.read.parquet(out + "/scored_docs")
     assert reg.where(F.col("epoch") == 1).count() == 0
     assert reg.count() == n_reg
+
+
+def test_compact_epochs_preserves_registry_resolution_and_delta(spark, tmp_path):
+    """~20 epochs, then compaction (VERDICT r4 #4): the stage roots shrink
+    to O(1) directories while (a) resolved reads of every stage are
+    unchanged, (b) the full (doc_id, sha256) registry pair set is unchanged
+    — including NON-latest pairs, so a doc that REVERTS to an old content
+    hash is still skipped — and (c) the next epoch computes the exact same
+    delta as an uncompacted copy. Replay idempotence survives compaction."""
+    import shutil
+
+    from theta_spark.streaming.ingest import (
+        _registry_epoch_dirs,
+        compact_epochs,
+    )
+
+    docs = generate_corpus(16, seed=9)
+    rows = corpus_rows(docs)
+
+    def mutate(row, tag):
+        return (row[0], row[1], row[2], row[3],
+                row[4] + f"\ndef mutated_{tag}(x):\n    return x\n")
+
+    out = str(tmp_path / "out")
+
+    def run_epoch(target, epoch, wave):
+        batch = spark.createDataFrame(wave, schema=CORPUS_SCHEMA)
+        process_corpus_batch_incremental(batch, target, epoch)
+
+    # epochs 0..13: introduce one new doc each plus a re-arrival of the
+    # previous one; epochs 14..17: churn — doc0 v2, doc0 v3, doc1 v2,
+    # doc2 v2 (so doc0 has TWO superseded pairs in the registry)
+    doc0_v2, doc0_v3 = mutate(rows[0], "a"), mutate(rows[0], "b")
+    doc1_v2, doc2_v2 = mutate(rows[1], "c"), mutate(rows[2], "d")
+    for e in range(14):
+        wave = [rows[e]] + ([rows[e - 1]] if e else [])
+        run_epoch(out, e, wave)
+    for e, wave in ((14, [doc0_v2, rows[5]]), (15, [doc0_v3]),
+                    (16, [doc1_v2, rows[7]]), (17, [doc2_v2])):
+        run_epoch(out, e, wave)
+
+    def resolved(target):
+        return {
+            stage: {tuple(r) for r in read_resolved_stage(spark, target, stage).collect()}
+            for stage in ("mentions", "triples", "scored_docs")
+        }
+
+    def pairs(target):
+        return {(r.doc_id, r.sha256)
+                for r in spark.read.parquet(target + "/scored_docs")
+                .select("doc_id", "sha256").collect()}
+
+    before_resolved, before_pairs = resolved(out), pairs(out)
+    control = str(tmp_path / "control")
+    shutil.copytree(out, control)
+
+    stats = compact_epochs(spark, out, floor=18)
+    assert stats["removed_dirs"] > 0
+
+    # O(1) directories: exactly the two base slots (registry) / one (rows)
+    assert _registry_epoch_dirs(out, "scored_docs") == ["epoch=16", "epoch=17"]
+    assert _registry_epoch_dirs(out, "mentions") == ["epoch=17"]
+    assert _registry_epoch_dirs(out, "triples") == ["epoch=17"]
+
+    assert resolved(out) == before_resolved
+    assert pairs(out) == before_pairs
+
+    # epoch 18 on both copies: 1 brand-new doc, 1 changed doc, 1 unchanged
+    # re-arrival, and doc0 REVERTED to its superseded v2 content — the
+    # hist slot must keep that pair so the revert is NOT re-scored
+    new_doc = ("cmpct", "fresh.py", "c1", "python",
+               "def fresh_fn(a):\n    return a\n")
+    wave18 = [new_doc, mutate(rows[3], "e"), rows[4], doc0_v2]
+    run_epoch(out, 18, wave18)
+    run_epoch(control, 18, wave18)
+
+    def epoch18(target):
+        return {(r.doc_id, r.sha256)
+                for r in spark.read.parquet(target + "/scored_docs")
+                .where(F.col("epoch") == 18).collect()}
+
+    got, want = epoch18(out), epoch18(control)
+    assert got == want and len(got) == 2  # new + changed only
+    assert resolved(out) == resolved(control)
+
+    # replay idempotence after compaction
+    run_epoch(out, 18, wave18)
+    assert epoch18(out) == want
+    assert resolved(out) == resolved(control)
+
+    # recompacting with a higher floor folds the base again
+    compact_epochs(spark, out, floor=19)
+    assert _registry_epoch_dirs(out, "scored_docs") == ["epoch=17", "epoch=18"]
+    assert resolved(out) == resolved(control)
+    assert pairs(out) == pairs(control)
