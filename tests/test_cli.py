@@ -28,7 +28,8 @@ def test_cli_synthetic_run_and_resume(tmp_path):
     wd = tmp_path / "kg"
     out = _run_cli(wd, ["--synthetic", "120"])
     assert set(out["stages"]) == {
-        "mentions", "triples", "nodes", "edge_provenance", "edges", "scored_docs"
+        "mentions", "triples", "nodes", "canon_map", "edge_provenance", "edges",
+        "scored_docs",
     }
     rows = {s: m["rows_out"] for s, m in out["stages"].items()}
     assert all(v > 0 for v in rows.values())

@@ -215,3 +215,27 @@ def test_clustering_coefficient_known_shapes(spark):
     assert got[0] == (3, 3, 1.0) and got[1] == (3, 3, 1.0) and got[2] == (3, 3, 1.0)
     assert got[3] == (4, 3, 0.5)   # 3 of the C(4,2)=6 neighbor pairs close
     assert got[4] == (1, 0, 0.0)   # pendant: deg < 2 guard
+
+
+def test_label_propagation_two_communities(spark):
+    """Two disjoint triangles: after 3 synchronous min-tie steps every
+    member carries its community's minimum id; deterministic across runs."""
+    from theta_spark.functions.graph import label_propagation
+
+    e = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (10, 11), (11, 12), (12, 10)], "src int, dst int"
+    )
+    got = {(r.node, r.label) for r in label_propagation(e, steps=3).collect()}
+    assert got == {(1, 1), (2, 1), (3, 1), (10, 10), (11, 10), (12, 10)}
+    again = {(r.node, r.label) for r in label_propagation(e, steps=3).collect()}
+    assert got == again
+
+
+def test_label_propagation_tie_breaks_lowest(spark):
+    """A path 1-2-3: node 2 sees labels {1, 3} once each — the tie must go
+    to the smallest label on every engine."""
+    from theta_spark.functions.graph import label_propagation
+
+    e = spark.createDataFrame([(1, 2), (2, 3)], "src int, dst int")
+    step1 = {(r.node, r.label) for r in label_propagation(e, steps=1).collect()}
+    assert step1 == {(1, 2), (2, 1), (3, 2)}

@@ -132,3 +132,132 @@ def test_incremental_config_drift_fails_fast(spark, v1_v2, tmp_path_factory):
         run_pipeline_incremental(
             spark, c2, w2, prior_workdir=w1, cfg=PipelineConfig(confidence=0.5)
         )
+
+
+def test_incremental_snapshots_are_delta_only(spark, v1_v2, tmp_path_factory):
+    """cfg.incremental_delta_only (default): the big row stages store ONLY
+    the delta extraction plus a `_retired` doc-key table; read_stage
+    resolves base − retired ∪ delta. The resolved views were proven equal
+    to a full recompute above — here pin the WRITE volume: local files
+    hold rows only for new/changed docs, and the audit still passes on
+    the delta snapshot."""
+    from theta_spark.pipeline import audit_stage, read_stage_local, run_pipeline_incremental
+
+    c1, c2 = v1_v2
+    w1 = str(tmp_path_factory.mktemp("do_v1"))
+    w2 = str(tmp_path_factory.mktemp("do_v2"))
+    run_pipeline(spark, c1, w1)
+    inc = run_pipeline_incremental(spark, c2, w2, prior_workdir=w1)
+
+    # local mention/triple rows cover ONLY delta docs (new + changed)
+    resolved_docs = {r["doc_id"] for r in inc["mentions"].select("doc_id").distinct().collect()}
+    for stage in ("mentions", "triples"):
+        local_docs = {r["doc_id"] for r in
+                      read_stage_local(spark, w2, stage).select("doc_id").distinct().collect()}
+        assert local_docs < resolved_docs  # strictly fewer docs written
+        # every locally-written doc is new or changed (not in prior keys)
+        prior_keys = {(r["doc_id"], r["sha256"]) for r in
+                      spark.read.parquet(w1 + "/scored_docs").collect()}
+        local_keys = {(r["doc_id"], r["sha256"]) for r in
+                      read_stage_local(spark, w2, stage).select("doc_id", "sha256").distinct().collect()}
+        assert not (local_keys & prior_keys)
+        assert audit_stage(spark, w2, stage).count() == 0
+
+    # the provenance snapshot is delta-only too, manifest points at base
+    from theta_spark.pipeline import stage_manifest
+
+    for stage in ("mentions", "triples", "edge_provenance"):
+        assert stage_manifest(w2, stage)["delta_base"] == w1
+    assert audit_stage(spark, w2, "edge_provenance").count() == 0
+
+
+def test_incremental_canon_merge_rewrites_affected_unchanged_doc(spark, tmp_path_factory):
+    """Entity resolution is corpus-global: a NEW doc can merge an existing
+    entity's cluster and re-key an UNCHANGED doc's provenance rows. The
+    delta-only provenance commit must detect this via the canon_map diff
+    and rewrite exactly the affected docs — and the resolved view must
+    equal a full recompute."""
+    from theta_spark.pipeline import read_stage_local, run_pipeline_incremental
+
+    base_rows = corpus_rows(generate_corpus(12, seed=5))
+    x_doc = ("cm", "x.py", "c1", "python",
+             "class GammaHolder:\n    def gamma_delta_utils(self):\n        return 1\n")
+    y_doc = ("cm", "y.py", "c1", "python",
+             "class GammaKeeper:\n    def gamma_delta_util(self):\n        return 2\n")
+    v1 = base_rows + [x_doc]
+    v2 = v1 + [y_doc]  # x UNCHANGED; y's name merges x's cluster (j=13/14)
+    c1 = spark.createDataFrame(v1, CORPUS_SCHEMA).repartition(2)
+    c2 = spark.createDataFrame(v2, CORPUS_SCHEMA).repartition(2)
+    w1 = str(tmp_path_factory.mktemp("cm_v1"))
+    w2 = str(tmp_path_factory.mktemp("cm_v2"))
+    wf = str(tmp_path_factory.mktemp("cm_full"))
+    run_pipeline(spark, c1, w1)
+    inc = run_pipeline_incremental(spark, c2, w2, prior_workdir=w1)
+    full = run_pipeline(spark, c2, wf)
+
+    cols = ["subj", "pred", "obj", "doc_id", "sha256"]
+    assert _rowset(inc["edge_provenance"], cols) == _rowset(full["edge_provenance"], cols)
+    assert _rowset(inc["edges"], ["subj", "pred", "obj", "n_docs"]) == _rowset(
+        full["edges"], ["subj", "pred", "obj", "n_docs"]
+    )
+    # the merge actually happened: x's rows now carry y's (lexicographically
+    # smaller) name as canonical
+    x_id, y_id = "cm:x.py@c1", "cm:y.py@c1"
+    x_names = {r["subj"] for r in inc["edge_provenance"].where(F.col("doc_id") == x_id).collect()} | {
+        r["obj"] for r in inc["edge_provenance"].where(F.col("doc_id") == x_id).collect()
+    }
+    assert "gamma_delta_util" in x_names and "gamma_delta_utils" not in x_names
+
+    # delta-proportional: locally-written provenance covers ONLY the new
+    # doc y and the affected (re-keyed) doc x — none of the 12 base docs
+    local_docs = {r["doc_id"] for r in
+                  read_stage_local(spark, w2, "edge_provenance").select("doc_id").distinct().collect()}
+    assert local_docs == {x_id, y_id}
+    retired = {r["doc_id"] for r in spark.read.parquet(w2 + "/edge_provenance/_retired").collect()}
+    assert retired == {x_id}  # x's stale base rows excluded; y is new
+    # mentions delta: only y was extracted (x was NOT re-scored)
+    m_local = {r["doc_id"] for r in read_stage_local(spark, w2, "mentions").select("doc_id").distinct().collect()}
+    assert m_local == {y_id}
+
+
+def test_incremental_chain_two_deltas(spark, v1_v2, tmp_path_factory):
+    """Chained incrementals: v3 = v2 + one new doc, run off the DELTA-ONLY
+    v2 snapshot — read_stage must resolve a two-link base chain and still
+    equal a full recompute."""
+    from theta_spark.pipeline import run_pipeline_incremental
+
+    c1, c2 = v1_v2
+    new_doc = ("chain", "z.py", "c3", "python", "def chained_fn(a):\n    return a\n")
+    v3 = [tuple(r) for r in c2.collect()] + [new_doc]
+    c3 = spark.createDataFrame(v3, CORPUS_SCHEMA).repartition(4)
+    w1 = str(tmp_path_factory.mktemp("ch_v1"))
+    w2 = str(tmp_path_factory.mktemp("ch_v2"))
+    w3 = str(tmp_path_factory.mktemp("ch_v3"))
+    wf = str(tmp_path_factory.mktemp("ch_full"))
+    run_pipeline(spark, c1, w1)
+    run_pipeline_incremental(spark, c2, w2, prior_workdir=w1)
+    inc3 = run_pipeline_incremental(spark, c3, w3, prior_workdir=w2)
+    full = run_pipeline(spark, c3, wf)
+    for stage, cols in [
+        ("mentions", ["doc_id", "sha256", "category", "start", "end", "mention"]),
+        ("triples", ["subj", "pred", "obj", "doc_id", "sha256"]),
+        ("edge_provenance", ["subj", "pred", "obj", "doc_id", "sha256"]),
+        ("edges", ["subj", "pred", "obj", "n_docs"]),
+    ]:
+        assert _rowset(inc3[stage], cols) == _rowset(full[stage], cols), stage
+
+
+def test_incremental_full_rewrite_flag_off(spark, v1_v2, tmp_path_factory):
+    """incremental_delta_only=False keeps the legacy self-contained
+    snapshots: no delta_base in the manifest, rows for ALL current docs."""
+    from theta_spark.config import PipelineConfig
+    from theta_spark.pipeline import read_stage_local, run_pipeline_incremental, stage_manifest
+
+    c1, c2 = v1_v2
+    w1 = str(tmp_path_factory.mktemp("ff_v1"))
+    w2 = str(tmp_path_factory.mktemp("ff_v2"))
+    run_pipeline(spark, c1, w1)
+    cfg = PipelineConfig(incremental_delta_only=False)
+    inc = run_pipeline_incremental(spark, c2, w2, prior_workdir=w1, cfg=cfg)
+    assert "delta_base" not in stage_manifest(w2, "mentions")
+    assert read_stage_local(spark, w2, "mentions").count() == inc["mentions"].count()

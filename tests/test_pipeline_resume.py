@@ -123,7 +123,8 @@ def test_empty_corpus_pipeline_and_resume(spark, tmp_path):
     wd = str(tmp_path / "wd")
     stages = run_pipeline(spark, corpus, wd, PipelineConfig(), resume=False)
     assert {k: v.count() for k, v in stages.items()} == {
-        "mentions": 0, "triples": 0, "nodes": 0, "edge_provenance": 0, "edges": 0,
+        "mentions": 0, "triples": 0, "nodes": 0, "canon_map": 0,
+        "edge_provenance": 0, "edges": 0,
         # the scored-docs registry still records both docs: zero-yield docs
         # are exactly what it exists to witness (incremental delta)
         "scored_docs": 2,

@@ -55,6 +55,12 @@ class PipelineConfig:
     jaccard_threshold: float = 0.9
     cc_max_iters: int = 20
     # scale knobs
+    incremental_delta_only: bool = True  # incremental runs write only delta
+                                   # rows + a retired-doc key table per big
+                                   # stage (manifest points at the base
+                                   # snapshot; read_stage resolves base −
+                                   # retired ∪ delta). False = full rewrite
+                                   # of every stage, the pre-r5 behavior.
     shuffle_partitions: int = 32
     salt_buckets: int = 8          # salting for skewed canonical entities
     hot_key_threshold: int = 10_000

@@ -287,3 +287,44 @@ def two_hop_reach(
         .agg(F.count(F.lit(1)).alias("reach2"))
     )
     return reach.orderBy(F.desc("reach2"), F.asc("node")).limit(top)
+
+
+def label_propagation(
+    edges: DataFrame, steps: int = 3, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Synchronous label propagation for community detection over the
+    undirected view of the KG edge set — the same fixed-step contract as
+    Spark GraphX's LabelPropagation.run(graph, maxSteps), made
+    DETERMINISTIC: each step every node adopts the most frequent label
+    among its neighbors, ties broken by the SMALLEST label (GraphX leaves
+    ties to hash order, which would be un-oracle-able).
+
+    Returns (node, label) after exactly `steps` synchronous rounds
+    (init: own id). Deterministic by construction — integer counts, total
+    tie order — so the result is bit-identical under any partitioning.
+
+    Scale shape: one lazy plan, 2 shuffles per step (adjacency ⨝ labels
+    on nbr, then groupBy node) — the same iterative equi-join skeleton as
+    PageRank, so AQE skew-split covers hub entities; label payloads are
+    node ids, never grow. Same lineage caveat as pagerank: beyond ~8
+    steps insert localCheckpoint."""
+    und = undirected_edges(edges, src, dst)
+    adj = und.select(F.col("a").alias("node"), F.col("b").alias("nbr")).unionByName(
+        und.select(F.col("b").alias("node"), F.col("a").alias("nbr"))
+    )
+    labels = graph_nodes(edges, src, dst).withColumn("label", F.col("node"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("node").orderBy(F.desc("n"), F.asc("label"))
+    for _ in range(steps):
+        cnt = (
+            adj.join(labels.withColumnRenamed("node", "nbr"), "nbr")
+            .groupBy("node", "label")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        labels = (
+            cnt.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") == 1)
+            .select("node", "label")
+        )
+    return labels

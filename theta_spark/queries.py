@@ -2093,3 +2093,46 @@ def gr_components(spark, sf_dir):
     return comp.select(
         F.col("name").alias("node"), F.col("component").alias("component")
     ).orderBy("node")
+
+
+def _lpa_step_sql(i: int) -> str:
+    """One synchronous LPA round in SQL: count neighbor labels, keep the
+    most frequent, smallest label on ties."""
+    return f"""
+    l{i + 1} AS (
+      SELECT node, label FROM (
+        SELECT adj.node, l{i}.label, COUNT(*) AS n,
+               ROW_NUMBER() OVER (PARTITION BY adj.node
+                                  ORDER BY COUNT(*) DESC, l{i}.label) AS rk
+        FROM adj JOIN l{i} ON adj.nbr = l{i}.node
+        GROUP BY adj.node, l{i}.label
+      ) WHERE rk = 1
+    )"""
+
+
+@query(
+    "gr_label_prop",
+    f"""
+    WITH {_GRAPH_SQL_CTE},
+    und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b FROM ge),
+    adj AS (SELECT a AS node, b AS nbr FROM und UNION ALL SELECT b, a FROM und),
+    l0 AS (SELECT node, node AS label FROM (SELECT a AS node FROM und UNION SELECT b FROM und)),
+    {",".join(_lpa_step_sql(i) for i in range(3))}
+    SELECT node, label FROM l3 ORDER BY node, label
+    """,
+)
+def gr_label_prop(spark, sf_dir):
+    """Community detection over the KG: 3 rounds of SYNCHRONOUS label
+    propagation with a deterministic smallest-label tie rule
+    (functions/graph.py label_propagation — the fixed-step contract of
+    GraphX's LabelPropagation.run, made engine-reproducible). Same
+    iterative equi-join shape as PageRank: one lazy plan, 2 shuffles per
+    round, AQE covers hub skew. The oracle unrolls the 3 rounds as CTEs."""
+    from theta_spark.functions.graph import label_propagation
+
+    ge = _graph_edges(spark, sf_dir)
+    return (
+        label_propagation(ge, steps=3)
+        .select(F.col("node").cast("long"), F.col("label").cast("long"))
+        .orderBy("node", "label")
+    )

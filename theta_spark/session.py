@@ -31,6 +31,13 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
         .config("spark.sql.files.maxPartitionBytes", "134217728")
+        # zstd over the default snappy for every snapshot this engine
+        # writes: measured at the 50k-doc graph layer, 31 MB -> 18.3 MB
+        # with wall parity on this host's disk — and at cluster scale the
+        # 40%+ byte cut is shuffle-spill + object-store bandwidth saved on
+        # every stage commit (the write tail is the part of the job a
+        # bigger cluster cannot parallelize away; BENCH.md §C)
+        .config("spark.sql.parquet.compression.codec", "zstd")
         # local mode: the driver JVM IS the executor — size the heap for
         # task-count × (window sort + shuffle + parquet writer) buffers, or
         # high-core runs thrash GC and scale NEGATIVELY (measured: triples
