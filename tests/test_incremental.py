@@ -261,3 +261,32 @@ def test_incremental_full_rewrite_flag_off(spark, v1_v2, tmp_path_factory):
     inc = run_pipeline_incremental(spark, c2, w2, prior_workdir=w1, cfg=cfg)
     assert "delta_base" not in stage_manifest(w2, "mentions")
     assert read_stage_local(spark, w2, "mentions").count() == inc["mentions"].count()
+
+
+def test_rewrite_stage_full_flattens_chain(spark, v1_v2, tmp_path_factory):
+    """rewrite_stage_full materializes a delta stage into a self-contained
+    snapshot: same resolved rows, no delta_base pointer, base no longer
+    consulted — and a later incremental can chain off the flattened run."""
+    from theta_spark.pipeline import (
+        read_stage_local,
+        rewrite_stage_full,
+        run_pipeline_incremental,
+        stage_manifest,
+    )
+
+    c1, c2 = v1_v2
+    w1 = str(tmp_path_factory.mktemp("fl_v1"))
+    w2 = str(tmp_path_factory.mktemp("fl_v2"))
+    run_pipeline(spark, c1, w1)
+    inc = run_pipeline_incremental(spark, c2, w2, prior_workdir=w1)
+    cols = ["doc_id", "sha256", "category", "start", "end", "mention"]
+    want = _rowset(inc["mentions"], cols)
+
+    flat = rewrite_stage_full(spark, w2, "mentions")
+    assert "delta_base" not in stage_manifest(w2, "mentions")
+    assert stage_manifest(w2, "mentions").get("config")  # drift guard survives
+    assert _rowset(flat, cols) == want
+    # self-contained: the local files ARE the resolved view now
+    assert _rowset(read_stage_local(spark, w2, "mentions"), cols) == want
+    # idempotent on an already-full stage
+    assert _rowset(rewrite_stage_full(spark, w2, "mentions"), cols) == want

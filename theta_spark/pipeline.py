@@ -320,6 +320,27 @@ def run_checkpointed_delta(
     return read_stage(spark, workdir, stage)
 
 
+def rewrite_stage_full(spark: SparkSession, workdir: str, stage: str) -> DataFrame:
+    """Flatten a delta-referencing stage into a SELF-CONTAINED snapshot in
+    place: resolve base − retired ∪ delta, materialize it, rewrite the
+    stage dir without the `delta_base` pointer, and refresh lineage. The
+    maintenance pass that bounds read_stage's chain depth — run it every
+    few increments, exactly like Iceberg snapshot compaction; afterwards
+    the base workdirs can be garbage-collected if nothing else references
+    them. No-op (returns the snapshot) when the stage is already full."""
+    import shutil
+
+    manifest = stage_manifest(workdir, stage)
+    if not manifest.get("delta_base"):
+        return read_stage(spark, workdir, stage)
+    resolved = read_stage(spark, workdir, stage).localCheckpoint(eager=True)
+    extra = {k: v for k, v in manifest.items() if k in ("config",)}
+    shutil.rmtree(os.path.join(workdir, stage))
+    return run_checkpointed(
+        spark, workdir, stage, lambda: resolved, resume=False, extra_manifest=extra
+    )
+
+
 def run_stages_parallel(spark: SparkSession, workdir: str, stages: list, resume: bool = True) -> dict:
     """Commit independent stages CONCURRENTLY: `stages` is a list of
     (stage_name, build, partition_cols) triples with no data dependencies
