@@ -239,3 +239,36 @@ def test_label_propagation_tie_breaks_lowest(spark):
     e = spark.createDataFrame([(1, 2), (2, 3)], "src int, dst int")
     step1 = {(r.node, r.label) for r in label_propagation(e, steps=1).collect()}
     assert step1 == {(1, 2), (2, 1), (3, 2)}
+
+
+def test_coreness_converges_to_known_core_numbers(spark):
+    """Clique K4 with a pendant tail: clique nodes have core 3, the tail
+    core 1 — the classic peeling answer, reached by the h-index iteration
+    (convergence here well within 8 rounds)."""
+    from theta_spark.functions.graph import coreness
+
+    clique = [(a, b) for a in range(1, 5) for b in range(a + 1, 5)]
+    e = spark.createDataFrame(clique + [(4, 5), (5, 6)], "src int, dst int")
+    got = {(r.node, r.core) for r in coreness(e, rounds=8).collect()}
+    assert got == {(1, 3), (2, 3), (3, 3), (4, 3), (5, 1), (6, 1)}
+
+
+def test_coreness_monotone_and_fixed_round_deterministic(spark):
+    """Round-r values never increase with r (h-index monotonicity), the
+    fixed-round contract is bit-stable across repartitioning, and a pure
+    path graph collapses to core 1 everywhere."""
+    from theta_spark.functions.graph import coreness
+
+    path = spark.createDataFrame([(i, i + 1) for i in range(1, 8)], "src int, dst int")
+    prev = None
+    for r in (1, 2, 4):
+        cur = {row.node: row.core for row in coreness(path, rounds=r).collect()}
+        if prev is not None:
+            assert all(cur[n] <= prev[n] for n in cur)
+        prev = cur
+    assert set(prev.values()) == {1}
+    again = {
+        (r.node, r.core)
+        for r in coreness(path.repartition(7), rounds=4).collect()
+    }
+    assert again == set(prev.items())

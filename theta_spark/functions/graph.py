@@ -289,6 +289,48 @@ def two_hop_reach(
     return reach.orderBy(F.desc("reach2"), F.asc("node")).limit(top)
 
 
+def coreness(
+    edges: DataFrame, rounds: int = 8, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """k-core decomposition of the undirected view of the KG edge set via
+    the h-index iteration (Lu et al. 2016: repeatedly replacing each
+    node's value with the H-index of its neighbors' values, starting from
+    degree, converges monotonically to coreness). Returns (node, core)
+    after exactly `rounds` synchronous rounds — the same fixed-step,
+    engine-reproducible contract as label_propagation; with enough rounds
+    core == the true core number (convergence is pytest-pinned on known
+    graphs).
+
+    Deterministic by construction: the per-node H-index
+    max(least(rank, c_nbr)) over neighbors sorted by c_nbr DESC is
+    invariant to tie order among equal c_nbr, so the result is
+    bit-identical under any partitioning.
+
+    Scale shape: one lazy plan, 2 shuffles per round (adjacency equi-join
+    on nbr, then the per-node window+agg) — the PageRank/LPA skeleton, so
+    AQE skew-split covers hub entities; values are small ints bounded by
+    degree and non-increasing. Same lineage caveat: beyond ~8 rounds
+    insert localCheckpoint."""
+    from pyspark.sql import Window
+
+    und = undirected_edges(edges, src, dst)
+    adj = und.select(F.col("a").alias("node"), F.col("b").alias("nbr")).unionByName(
+        und.select(F.col("b").alias("node"), F.col("a").alias("nbr"))
+    )
+    c = _degrees(und).withColumnRenamed("deg", "core")
+    w = Window.partitionBy("node").orderBy(F.desc("c_nbr"))
+    for _ in range(rounds):
+        nb = adj.join(
+            c.select(F.col("node").alias("nbr"), F.col("core").alias("c_nbr")), "nbr"
+        ).select("node", "c_nbr")
+        c = (
+            nb.withColumn("rn", F.row_number().over(w))
+            .groupBy("node")
+            .agg(F.max(F.least(F.col("rn"), F.col("c_nbr"))).alias("core"))
+        )
+    return c
+
+
 def label_propagation(
     edges: DataFrame, steps: int = 3, src: str = "src", dst: str = "dst"
 ) -> DataFrame:

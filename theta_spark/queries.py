@@ -2136,3 +2136,46 @@ def gr_label_prop(spark, sf_dir):
         .select(F.col("node").cast("long"), F.col("label").cast("long"))
         .orderBy("node", "label")
     )
+
+
+def _hindex_round_sql(i: int) -> str:
+    """One h-index round in SQL: each node takes the H-index of its
+    neighbors' current values (max over desc-rank r of min(r, c_r))."""
+    return f"""
+    c{i + 1} AS (
+      SELECT node, MAX(LEAST(rn, c_nbr)) AS core FROM (
+        SELECT adj.node, c{i}.core AS c_nbr,
+               ROW_NUMBER() OVER (PARTITION BY adj.node
+                                  ORDER BY c{i}.core DESC) AS rn
+        FROM adj JOIN c{i} ON adj.nbr = c{i}.node
+      ) GROUP BY node
+    )"""
+
+
+@query(
+    "gr_kcore",
+    f"""
+    WITH {_GRAPH_SQL_CTE},
+    und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b FROM ge),
+    adj AS (SELECT a AS node, b AS nbr FROM und UNION ALL SELECT b, a FROM und),
+    c0 AS (SELECT node, COUNT(*) AS core FROM adj GROUP BY node),
+    {",".join(_hindex_round_sql(i) for i in range(4))}
+    SELECT node, core FROM c4 ORDER BY node
+    """,
+)
+def gr_kcore(spark, sf_dir):
+    """k-core decomposition of the KG after 4 synchronous h-index rounds
+    (functions/graph.py coreness — init degree, then each node takes the
+    H-index of its neighbors' values; monotone convergence to true core
+    numbers is pytest-pinned on known graphs, the fixed-round contract
+    keeps the query engine-reproducible like gr_label_prop). Same
+    PageRank/LPA equi-join skeleton: 2 shuffles per round, values bounded
+    by degree. The oracle unrolls the 4 rounds as window+agg CTEs."""
+    from theta_spark.functions.graph import coreness
+
+    ge = _graph_edges(spark, sf_dir)
+    return (
+        coreness(ge, rounds=4)
+        .select(F.col("node").cast("long"), F.col("core").cast("long"))
+        .orderBy("node")
+    )
