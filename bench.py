@@ -38,6 +38,119 @@ def _stage_wall(workdir: str, stage: str) -> float:
 from bench_scaling import _proc_stat  # noqa: E402
 
 
+def _host_calib(threads: int = 32) -> dict:
+    """Fixed-work CPU calibration — a host-STATE index stamped into every
+    artifact. BENCH.md §L showed the UNCHANGED round-4 code varying
+    14.8s -> 22s across measurement days at near-zero nominal steal: the
+    hypervisor's interference manifests as a window-level throughput
+    state the steal counter misses, so cross-day wall comparisons need a
+    denominator. Work: sha256 over fixed 1 MiB blocks — ALU-bound,
+    allocation-free, no BLAS/JVM coupling; hashlib releases the GIL on
+    large buffers, so a thread pool measures real parallel bandwidth.
+
+    Returns seconds for one single-thread unit (512 MiB), the wall for
+    `threads` concurrent units, and the effective parallel speedup. Same
+    code, same bytes, every round: `t1_s` ratios across artifacts ARE the
+    host-state ratio. (~0.4s + ~1s on an unloaded host.)
+    """
+    import hashlib
+    from concurrent.futures import ThreadPoolExecutor
+
+    block = b"\xa5" * (1 << 20)
+
+    def unit() -> None:
+        h = hashlib.sha256()
+        for _ in range(512):
+            h.update(block)
+        h.digest()
+
+    t0 = time.time()
+    unit()
+    t1 = time.time() - t0
+    t0 = time.time()
+    with ThreadPoolExecutor(max_workers=threads) as ex:
+        list(ex.map(lambda _: unit(), range(threads)))
+    tn = time.time() - t0
+    # second dimension: MEMORY BANDWIDTH (a 256 MiB copy) — a JVM workload
+    # can be throttled on the memory bus while ALU throughput reads clean
+    # (observed: identical in-run sha unit_s on a day Spark ran 1.5x slow)
+    import numpy as np
+
+    src = np.empty(1 << 28, dtype=np.uint8)
+    dst = np.empty_like(src)
+    np.copyto(dst, src)  # warm-up: fault the pages in, then time the copy
+    t0 = time.time()
+    np.copyto(dst, src)
+    tc = time.time() - t0
+    return {
+        "t1_s": round(t1, 3),
+        "tn_s": round(tn, 3),
+        "threads": threads,
+        "parallel_speedup": round(threads * t1 / tn, 2) if tn > 0 else -1.0,
+        "copy_gbps": round(0.25 / tc, 2) if tc > 0 else -1.0,
+    }
+
+
+class _InRunProber:
+    """Times the SAME fixed sha256 unit as _host_calib on a background
+    thread WHILE a trial runs. §H found the interference JVM-COUPLED: an
+    idle-host probe (steal or calib) can read clean while the JVM's work
+    is throttled, so the only trustworthy host-state sample is one taken
+    inside the measurement window. One prober thread at ~50% duty cycle
+    perturbs a 32-way run by <2% and rides every artifact identically, so
+    it cancels out of cross-round comparisons. `in_run_unit_s` vs the
+    idle `t1_s` is the in-window slowdown factor."""
+
+    def __init__(self):
+        import threading
+
+        self._stop = threading.Event()
+        self._samples: list = []
+        self._thread = threading.Thread(target=self._loop, daemon=True)
+
+    def _loop(self) -> None:
+        import hashlib
+
+        import numpy as np
+
+        block = b"\xa5" * (1 << 20)
+        src = np.empty(1 << 27, dtype=np.uint8)  # 128 MiB copy probe
+        dst = np.empty_like(src)
+        np.copyto(dst, src)  # fault pages in before the first timed sample
+        while not self._stop.is_set():
+            t0 = time.time()
+            h = hashlib.sha256()
+            for _ in range(512):
+                h.update(block)
+            h.digest()
+            t1 = time.time()
+            np.copyto(dst, src)
+            t2 = time.time()
+            self._samples.append((t1 - t0, t2 - t1))
+            self._stop.wait(0.5)
+
+    def __enter__(self):
+        self._thread.start()
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self._stop.set()
+        self._thread.join(timeout=10)
+
+    def stats(self) -> dict:
+        if not self._samples:
+            return {"in_run_unit_s": -1.0, "n": 0}
+        sha = sorted(t for t, _ in self._samples)
+        cp = sorted(t for _, t in self._samples)
+        return {
+            "in_run_unit_s": round(sha[len(sha) // 2], 3),  # median
+            "in_run_unit_max_s": round(sha[-1], 3),
+            "in_run_copy_gbps": round(0.125 / cp[len(cp) // 2], 2),
+            "in_run_copy_min_gbps": round(0.125 / cp[-1], 2),
+            "n": len(self._samples),
+        }
+
+
 def _steal_probe(window_s: float = 1.5) -> float:
     """Instantaneous host steal%% over a short idle window. The guest is
     time-shared; numbers taken while the hypervisor is handing our vCPUs
@@ -136,12 +249,16 @@ def run_bench(
     # artifact says whether its kg number is citable.
     if os.environ.get("SPARK_GRAFT_BENCH_NO_PROBE") != "1":
         kg["probe"] = _wait_clean_window()
+    # host-state index (§L): lets a reader normalize this artifact's walls
+    # against any other round's without same-window interleaving
+    kg["host_calib"] = _host_calib()
 
     def _kg_trial() -> tuple[dict, dict]:
         """One timed kg run -> (timings_slice, kg_metrics)."""
         workdir = tempfile.mkdtemp(prefix="kgbench_")
         tm: dict = {}
         m: dict = {}
+        prober = _InRunProber().__enter__()
         try:
             b0, s0, tj0 = _proc_stat()
             t0 = time.time()
@@ -229,6 +346,8 @@ def run_bench(
                 m["n_edges"] = stages["edges"].count()
             return tm, m
         finally:
+            prober.__exit__()
+            m.update(prober.stats())
             shutil.rmtree(workdir, ignore_errors=True)
 
     kg_all = [_kg_trial() for _ in range(kg_trials)]
@@ -241,6 +360,7 @@ def run_bench(
                 "end_to_end_sec": m["end_to_end_sec"],
                 "busy_cpu_s": m["busy_cpu_s"],
                 "steal_pct": m["steal_pct"],
+                "in_run_unit_s": m.get("in_run_unit_s"),
             }
             for _, m in kg_all
         ]
