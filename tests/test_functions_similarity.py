@@ -183,3 +183,97 @@ def test_kmeans_auto_dispatch_threshold(spark):
     assert {r.vec_id: r.cell for r in a_auto.collect()} == {
         r.vec_id: r.cell for r in a_arw.collect()
     }
+
+
+def _pq_embeddings(spark, n=30, dim=8, seed=13):
+    """Random vectors, NO planted near-duplicates — the degenerate-PQ
+    exactness test needs distinct codewords so round-4 ties can't flip
+    assignments between a vector and its near-twin."""
+    rng = np.random.default_rng(seed)
+    rows = [(i, rng.normal(0, 1, dim).tolist()) for i in range(n)]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_pq_degenerate_equals_brute_force(spark):
+    """m=1, ksub=N, iters=0: every vector is its own codeword, so ADC
+    similarity IS the exact rounded cosine — top-k must reproduce the
+    brute-force baseline bit-for-bit (pairs, sims, ranks). This pins the
+    ADC dataflow (table build, code join, partial-agg sum) as a lossless
+    generalization of exact search."""
+    from theta_spark.functions.similarity import pq_adc_topk, pq_encode, train_pq
+
+    e = _pq_embeddings(spark, n=30, dim=8)
+    qs = e.filter("vec_id % 7 = 0")
+    cbs = train_pq(e, m=1, ksub=30, iters=0, dim=8)
+    enc = pq_encode(e, cbs, m=1, dim=8)
+    adc = sorted(
+        (r.query_id, r.rk, r.neighbor_id, r.adc_sim)
+        for r in pq_adc_topk(enc, qs, cbs, k=5, m=1, dim=8).collect()
+    )
+    bf = sorted(
+        (r.query_id, r.rk, r.neighbor_id, r.cos_sim)
+        for r in brute_force_topk(e, qs, k=5).collect()
+    )
+    assert adc == bf
+
+
+def test_train_pq_deterministic_shapes(spark):
+    """Trained codebooks: deterministic across runs, subvector length
+    dim/m, codes within [0, ksub), and at least one live code per
+    subspace after the Lloyd update."""
+    from theta_spark.functions.similarity import train_pq
+
+    e = _pq_embeddings(spark, n=40, dim=8, seed=5)
+    c1 = train_pq(e, m=2, ksub=4, iters=1, dim=8)
+    c2 = train_pq(e, m=2, ksub=4, iters=1, dim=8)
+    assert c1 == c2
+    assert all(len(v) == 4 for v in c1.values())
+    subs = {s for s, _ in c1}
+    assert subs == {0, 1}
+    assert all(0 <= c < 4 for _, c in c1)
+
+
+def test_pq_encode_matches_driver_numpy(spark):
+    """The zero-shuffle Arrow encoder reproduces a driver-side numpy
+    recompute of nearest-codeword assignment under the shared rounding
+    contract (half-up 1e-4 dots, lowest code on ties)."""
+    from theta_spark.functions.similarity import pq_encode, train_pq, with_unit_vec
+
+    e = _pq_embeddings(spark, n=40, dim=8, seed=5)
+    cbs = train_pq(e, m=2, ksub=4, iters=1, dim=8)
+    got = {r.vec_id: list(r.codes) for r in pq_encode(e, cbs, m=2, dim=8).collect()}
+
+    units = {r.vec_id: np.array(r.unit) for r in with_unit_vec(e).collect()}
+    w = 4
+    for vid, u in units.items():
+        want = []
+        for s in range(2):
+            codes = sorted(c for (ss, c) in cbs if ss == s)
+            best = None
+            for c in codes:
+                d = float(np.dot(u[s * w : (s + 1) * w], np.array(cbs[(s, c)])))
+                r4 = math.copysign(math.floor(abs(d) * 1e4 + 0.5) / 1e4, d)
+                if best is None or r4 > best[0]:
+                    best = (r4, c)
+            want.append(best[1])
+        assert got[vid] == want, vid
+
+
+def test_pq_adc_rank_contract(spark):
+    """rk is 1..k per query, adc_sim non-increasing within a query, and
+    the query itself is never its own neighbor."""
+    from theta_spark.functions.similarity import pq_adc_topk, pq_encode, train_pq
+
+    e = _pq_embeddings(spark, n=40, dim=8, seed=5)
+    qs = e.filter("vec_id % 10 = 0")
+    cbs = train_pq(e, m=2, ksub=4, iters=1, dim=8)
+    out = pq_adc_topk(pq_encode(e, cbs, m=2, dim=8), qs, cbs, k=5, m=2, dim=8).collect()
+    by_q = {}
+    for r in out:
+        assert r.neighbor_id != r.query_id
+        by_q.setdefault(r.query_id, []).append((r.rk, r.adc_sim))
+    for q, pairs in by_q.items():
+        pairs.sort()
+        assert [rk for rk, _ in pairs] == list(range(1, len(pairs) + 1))
+        sims = [s for _, s in pairs]
+        assert sims == sorted(sims, reverse=True)

@@ -339,3 +339,189 @@ def cosine_near_dup_pairs(
         .select("a", "b", F.round(_dot(F.col("ua"), F.col("ub")), 4).alias("cos_sim"))
         .filter(F.col("cos_sim") >= threshold)
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (IVF-PQ's compression half)
+# ---------------------------------------------------------------------------
+# At 100-TB embedding scale the index cannot hold raw vectors: PQ splits
+# each unit vector into m subspaces, learns a tiny per-subspace codebook
+# (ksub codewords), and stores each vector as m small codes (m bytes at
+# ksub<=256 vs dim*4 — a 32x+ cut at dim=64/m=8). Query scoring is ADC
+# (asymmetric distance computation): the QUERY stays exact; per query a
+# (m x ksub) table of subspace dot products is built once, and each
+# corpus vector's similarity is the sum of m table lookups — no float
+# vector ever leaves storage. Composes with the IVF coarse quantizer
+# above (restrict ADC to the probed cells) exactly like FAISS IVFPQ.
+#
+# Determinism contract shared with kmeans_cells_lloyd: init = subvectors
+# of the ksub smallest ids, assignment argmax on HALF-UP-4-rounded dots
+# with lowest code on ties, centroid update ROUNDed per dim — so the
+# whole train->encode->ADC dataflow is reproducible bit-for-bit in
+# DuckDB SQL (the sim_pq_adc_topk oracle unrolls it).
+
+
+def _sub_slices_col(unit_col, m: int, dim: int):
+    w = dim // m
+    return F.array(*[F.slice(unit_col, s * w + 1, w) for s in range(m)])
+
+
+def _pq_codebook_df(spark, cbs: dict):
+    rows = [(s, c, [float(x) for x in v]) for (s, c), v in sorted(cbs.items())]
+    return spark.createDataFrame(rows, "sub int, code int, cvec array<double>")
+
+
+def train_pq(
+    corpus: DataFrame,
+    m: int = 2,
+    ksub: int = 4,
+    iters: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    decimals: int = 6,
+) -> dict:
+    """Learn per-subspace codebooks: {(sub, code): subvector}. One Lloyd
+    round per iter, ALL m subspaces trained in a single DataFrame pass
+    (subspaces ride as an exploded (sub, svec) column; the update is one
+    (sub, code, pos)-keyed agg of m*ksub*(dim/m) groups). Driver traffic
+    per iter is the codebook itself — m*ksub*(dim/m) = ksub*dim doubles,
+    independent of corpus size. At real scale training runs on a sample
+    (as every PQ trainer does); encoding the full corpus is the
+    zero-shuffle Arrow path below."""
+    assert dim % m == 0, "m must divide dim"
+    w = dim // m
+    spark = corpus.sparkSession
+    u = with_unit_vec(corpus, vec_col).select(F.col(id_col).alias("_vid"), "unit").persist()
+    init = u.orderBy("_vid").limit(ksub).collect()
+    cbs = {}
+    for code, r in enumerate(init):
+        vec = [float(x) for x in r["unit"]]
+        for s in range(m):
+            cbs[(s, code)] = vec[s * w : (s + 1) * w]
+    subs = u.select(
+        "_vid", F.posexplode(_sub_slices_col(F.col("unit"), m, dim)).alias("sub", "svec")
+    )
+    for _ in range(iters):
+        joined = subs.join(F.broadcast(_pq_codebook_df(spark, cbs)), on="sub").select(
+            "_vid",
+            "sub",
+            "code",
+            "svec",
+            F.round(_dot(F.col("svec"), F.col("cvec")), 4).alias("sim"),
+        )
+        # argmax per (vector, subspace) WITHOUT a window shuffle: one
+        # partial-aggregating max over struct(sim, -code, svec) — highest
+        # rounded sim, lowest code on ties (codes are distinct so the
+        # array field never participates in the comparison)
+        a = (
+            joined.groupBy("_vid", "sub")
+            .agg(
+                F.max(
+                    F.struct(
+                        F.col("sim"), (-F.col("code")).alias("negcode"), F.col("svec")
+                    )
+                ).alias("b")
+            )
+            .select("sub", (-F.col("b.negcode")).cast("int").alias("code"), F.col("b.svec").alias("svec"))
+        )
+        per_dim = (
+            a.select("sub", "code", F.posexplode("svec").alias("pos", "x"))
+            .groupBy("sub", "code", "pos")
+            .agg(F.round(F.avg("x"), decimals).alias("c"))
+        )
+        rows = (
+            per_dim.groupBy("sub", "code")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "c"))).alias("pc"))
+            .select("sub", "code", F.transform("pc", lambda t: t["c"]).alias("cvec"))
+            .collect()
+        )
+        cbs = {(int(r["sub"]), int(r["code"])): [float(x) for x in r["cvec"]] for r in rows}
+    u.unpersist()
+    return cbs
+
+
+def pq_encode(
+    corpus: DataFrame,
+    cbs: dict,
+    m: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """(id, codes array<int>): nearest codeword per subspace — the PQ
+    index build. Codebooks ship as ONE broadcast numpy tensor; each Arrow
+    batch does m small matmuls + argmax. One corpus scan, zero shuffle,
+    O(1) plan columns — the same scale shape as _assign_cells_arrow, and
+    the same rounding/tie semantics (half-up 1e-4, lowest code first)."""
+    import numpy as np
+    import pandas as pd
+
+    w = dim // m
+    per_sub = []
+    for s in range(m):
+        codes = sorted(c for (ss, c) in cbs if ss == s)
+        mat = np.asarray([cbs[(s, c)] for c in codes], dtype=np.float64).T  # w x k_s
+        per_sub.append((np.asarray(codes, dtype=np.int64), mat))
+    bc = corpus.sparkSession.sparkContext.broadcast(per_sub)
+
+    u = with_unit_vec(corpus, vec_col).select(F.col(id_col).alias("_vid"), "unit")
+
+    def gen(batches):
+        subs_ = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                yield pd.DataFrame({"_vid": pdf["_vid"], "codes": []})
+                continue
+            mat_all = np.asarray(pdf["unit"].tolist(), dtype=np.float64)  # n x dim
+            out = np.empty((len(pdf), len(subs_)), dtype=np.int64)
+            for s, (codes_, cmat) in enumerate(subs_):
+                sims = mat_all[:, s * w : (s + 1) * w] @ cmat
+                r = np.floor(np.abs(sims) * 1e4 + 0.5) / 1e4 * np.sign(sims)
+                out[:, s] = codes_[np.argmax(r, axis=1)]  # first max = lowest code
+            yield pd.DataFrame({"_vid": pdf["_vid"], "codes": list(out)})
+
+    vid_type = dict(u.dtypes)["_vid"]
+    return u.mapInPandas(gen, schema=f"_vid {vid_type}, codes array<int>").withColumnRenamed(
+        "_vid", id_col
+    )
+
+
+def pq_adc_topk(
+    encoded: DataFrame,
+    queries: DataFrame,
+    cbs: dict,
+    k: int = 5,
+    m: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """(query_id, neighbor_id, adc_sim, rk): top-k by ADC similarity —
+    sum over subspaces of table[sub][code], where the per-query table is
+    the exact query subvector dotted with every codeword. The table
+    (q x m x ksub rows) is broadcast; the corpus side touches only its
+    integer codes: explode to (id, sub, code), one broadcast-hash join,
+    partial-agg sum to (query, neighbor) — no raw corpus vector is read
+    at query time, which is the entire point of PQ at scale."""
+    spark = encoded.sparkSession
+    qsubs = with_unit_vec(queries, vec_col).select(
+        F.col(id_col).alias("query_id"),
+        F.posexplode(_sub_slices_col(F.col("unit"), m, dim)).alias("sub", "qsub"),
+    )
+    tbl = qsubs.join(F.broadcast(_pq_codebook_df(spark, cbs)), on="sub").select(
+        "query_id", "sub", "code", F.round(_dot(F.col("qsub"), F.col("cvec")), 4).alias("part")
+    )
+    enc = encoded.select(
+        F.col(id_col).alias("neighbor_id"), F.posexplode("codes").alias("sub", "code")
+    )
+    scored = (
+        enc.join(F.broadcast(tbl), on=["sub", "code"])
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.round(F.sum("part"), 4).alias("adc_sim"))
+    )
+    w_rank = Window.partitionBy("query_id").orderBy(
+        F.col("adc_sim").desc(), F.col("neighbor_id")
+    )
+    return scored.withColumn("rk", F.row_number().over(w_rank)).filter(F.col("rk") <= k)

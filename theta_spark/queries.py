@@ -1678,6 +1678,92 @@ def sim_ivf_kmeans_topk(spark, sf_dir):
     return ivf_topk(with_cells, qs, k=5, cell_col="cell").orderBy("query_id", "rk")
 
 
+_PQ_ADC_SQL = (
+    _UNIT_CTE
+    + r"""
+    , subs AS (
+      SELECT vec_id, 0 AS sub, unit[1:32] AS svec FROM u
+      UNION ALL
+      SELECT vec_id, 1 AS sub, unit[33:64] AS svec FROM u
+    ),
+    cent0 AS (
+      SELECT sub, ROW_NUMBER() OVER (PARTITION BY sub ORDER BY vec_id) - 1 AS code,
+             svec AS cvec
+      FROM subs
+      WHERE vec_id IN (SELECT vec_id FROM u ORDER BY vec_id LIMIT 4)
+    ),
+    a1 AS (
+      SELECT vec_id, sub, code, svec FROM (
+        SELECT s.vec_id, s.sub, c.code, s.svec,
+               ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.sub
+                 ORDER BY ROUND(list_sum(list_transform(generate_series(1, 32),
+                                i -> s.svec[i] * c.cvec[i])), 4) DESC, c.code) AS rk
+        FROM subs s JOIN cent0 c ON s.sub = c.sub
+      ) WHERE rk = 1
+    ),
+    sdims AS (SELECT unnest(generate_series(1, 32)) AS i),
+    cent1 AS (
+      SELECT sub, code, list(c ORDER BY pos) AS cvec FROM (
+        SELECT a1.sub, a1.code, d.i AS pos, ROUND(AVG(a1.svec[d.i]), 6) AS c
+        FROM a1 CROSS JOIN sdims d GROUP BY a1.sub, a1.code, d.i
+      ) GROUP BY sub, code
+    ),
+    codes AS (
+      SELECT vec_id, sub, code FROM (
+        SELECT s.vec_id, s.sub, c.code,
+               ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.sub
+                 ORDER BY ROUND(list_sum(list_transform(generate_series(1, 32),
+                                i -> s.svec[i] * c.cvec[i])), 4) DESC, c.code) AS rk
+        FROM subs s JOIN cent1 c ON s.sub = c.sub
+      ) WHERE rk = 1
+    ),
+    q AS (SELECT vec_id AS query_id, sub, svec AS qsub FROM subs WHERE vec_id % 25 = 0),
+    tbl AS (
+      SELECT q.query_id, c.sub, c.code,
+             ROUND(list_sum(list_transform(generate_series(1, 32),
+                   i -> q.qsub[i] * c.cvec[i])), 4) AS part
+      FROM q JOIN cent1 c ON q.sub = c.sub
+    ),
+    scored AS (
+      SELECT t.query_id, e.vec_id AS neighbor_id, ROUND(SUM(t.part), 4) AS adc_sim
+      FROM codes e JOIN tbl t ON e.sub = t.sub AND e.code = t.code
+      WHERE e.vec_id <> t.query_id
+      GROUP BY t.query_id, e.vec_id
+    )
+    SELECT query_id, neighbor_id, adc_sim, rk FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY adc_sim DESC, neighbor_id) AS rk
+      FROM scored
+    ) WHERE rk <= 5 ORDER BY query_id, rk
+    """
+)
+
+
+@query("sim_pq_adc_topk", _PQ_ADC_SQL)
+def sim_pq_adc_topk(spark, sf_dir):
+    """Product quantization + ADC top-k — IVF-PQ's compression half, the
+    index shape a 100-TB embedding corpus actually needs (m codes per
+    vector instead of dim floats; queries never read a raw corpus
+    vector). Train: per-subspace Lloyd (m=2 subspaces of 32 dims, ksub=4,
+    one round; all subspaces in one DataFrame pass, driver traffic =
+    ksub*dim doubles). Encode: broadcast codebook tensor + Arrow argmax —
+    zero shuffle, O(1) plan columns (functions/similarity.py pq_encode).
+    Score: per-query (sub, code) -> dot table broadcast; corpus side
+    touches only its integer codes (explode -> broadcast join -> partial-
+    agg sum). The oracle unrolls the whole train->encode->ADC dataflow in
+    SQL under the shared determinism contract (half-up-4 dots, lowest
+    code on ties, round-6 centroid update). Exactness is pytest-pinned:
+    at m=1, ksub=N, iters=0 ADC reproduces brute-force cosine top-k
+    bit-for-bit."""
+    from theta_spark.functions.similarity import pq_adc_topk, pq_encode, train_pq
+
+    e = _load(spark, sf_dir, "embeddings")
+    cbs = train_pq(e, m=2, ksub=4, iters=1)
+    enc = pq_encode(e, cbs, m=2)
+    qs = e.filter(F.col("vec_id") % 25 == 0)
+    return pq_adc_topk(enc, qs, cbs, k=5, m=2).orderBy("query_id", "rk")
+
+
 @query("sim_ivf_kmeans64_topk", _ivf_kmeans_sql(64))
 def sim_ivf_kmeans64_topk(spark, sf_dir):
     """IVF top-k with a LARGE codebook (nlist=64): exercises the broadcast-
