@@ -277,3 +277,66 @@ def test_pq_adc_rank_contract(spark):
         assert [rk for rk, _ in pairs] == list(range(1, len(pairs) + 1))
         sims = [s for _, s in pairs]
         assert sims == sorted(sims, reverse=True)
+
+
+def test_ivfpq_single_probe_restricts_to_cell(spark):
+    """IVF-PQ with a scalar probe cell: every returned neighbor lives in
+    the query's coarse cell (the IVF pruning half), and ranks stay a
+    dense 1..k prefix per query (the PQ scoring half)."""
+    from theta_spark.functions.similarity import (
+        ivfpq_adc_topk,
+        kmeans_cells_lloyd,
+        pq_encode,
+        train_pq,
+    )
+
+    e = _pq_embeddings(spark, n=40, dim=8, seed=5)
+    assign, _ = kmeans_cells_lloyd(e, k=3, iters=1)
+    cbs = train_pq(e, m=2, ksub=4, iters=1, dim=8)
+    enc = pq_encode(e, cbs, m=2, dim=8).join(assign, on="vec_id")
+    qs = e.join(assign, on="vec_id").filter("vec_id % 10 = 0")
+    out = ivfpq_adc_topk(enc, qs, cbs, k=5, m=2, dim=8).collect()
+    cell_of = {r.vec_id: r.cell for r in assign.collect()}
+    by_q = {}
+    for r in out:
+        assert cell_of[r.neighbor_id] == cell_of[r.query_id]
+        assert r.neighbor_id != r.query_id
+        by_q.setdefault(r.query_id, []).append(r.rk)
+    for rks in by_q.values():
+        assert sorted(rks) == list(range(1, len(rks) + 1))
+
+
+def test_ivfpq_all_cells_probed_equals_pure_pq(spark):
+    """Multi-probe with EVERY cell in the probe array removes the IVF
+    pruning entirely, so IVF-PQ must reproduce pq_adc_topk bit-for-bit —
+    pins the composition as pruning-over-PQ, not a third scorer."""
+    import pyspark.sql.functions as F
+
+    from theta_spark.functions.similarity import (
+        ivfpq_adc_topk,
+        kmeans_cells_lloyd,
+        pq_adc_topk,
+        pq_encode,
+        train_pq,
+    )
+
+    e = _pq_embeddings(spark, n=40, dim=8, seed=5)
+    assign, _ = kmeans_cells_lloyd(e, k=3, iters=1)
+    cbs = train_pq(e, m=2, ksub=4, iters=1, dim=8)
+    enc = pq_encode(e, cbs, m=2, dim=8).join(assign, on="vec_id")
+    all_cells = sorted(r.cell for r in assign.select("cell").distinct().collect())
+    qs = e.filter("vec_id % 10 = 0").withColumn(
+        "cell", F.array(*[F.lit(c) for c in all_cells])
+    )
+    got = sorted(
+        (r.query_id, r.rk, r.neighbor_id, r.adc_sim)
+        for r in ivfpq_adc_topk(enc, qs, cbs, k=5, m=2, dim=8).collect()
+    )
+    want = sorted(
+        (r.query_id, r.rk, r.neighbor_id, r.adc_sim)
+        for r in pq_adc_topk(
+            pq_encode(e, cbs, m=2, dim=8), e.filter("vec_id % 10 = 0"), cbs,
+            k=5, m=2, dim=8,
+        ).collect()
+    )
+    assert got == want

@@ -525,3 +525,60 @@ def pq_adc_topk(
         F.col("adc_sim").desc(), F.col("neighbor_id")
     )
     return scored.withColumn("rk", F.row_number().over(w_rank)).filter(F.col("rk") <= k)
+
+
+def ivfpq_adc_topk(
+    encoded: DataFrame,
+    queries: DataFrame,
+    cbs: dict,
+    k: int = 5,
+    m: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    cell_col: str = "cell",
+) -> DataFrame:
+    """IVF-PQ: the two halves composed — coarse-cell candidate pruning
+    (IVF) over PQ-compressed scoring (ADC). `encoded` carries (id, codes,
+    cell) — the index as it would sit on disk: m int8-scale codes plus one
+    cell id per vector, no raw floats. `queries` carry (id, vec, cell[s])
+    with `cell_col` either a scalar (single probe) or array<cell>
+    (multi-probe: pass the nprobe nearest cells). Scoring is pq_adc_topk's
+    dataflow with the cell id added to the broadcast join key: the
+    per-query (cell, sub, code) -> partial-dot table is broadcast, the
+    corpus side explodes only its integer codes, and the equi-join on
+    cell prunes candidates BEFORE any distance work — per-query cost is
+    O(|probed cells| * m) index rows touched, never the corpus. This is
+    the index shape (IVF for pruning + PQ for memory) a 10^9-vector
+    corpus needs; both halves keep their separately-oracled determinism
+    contracts (half-up-4 dots, lowest code/cell on ties)."""
+    spark = encoded.sparkSession
+    q = with_unit_vec(queries, vec_col)
+    cell_t = dict(q.dtypes)[cell_col]
+    probe = (
+        F.explode(F.col(cell_col)) if cell_t.startswith("array") else F.col(cell_col)
+    )
+    qsubs = q.select(
+        F.col(id_col).alias("query_id"),
+        probe.alias("cell"),
+        F.posexplode(_sub_slices_col(F.col("unit"), m, dim)).alias("sub", "qsub"),
+    )
+    tbl = qsubs.join(F.broadcast(_pq_codebook_df(spark, cbs)), on="sub").select(
+        "query_id", "cell", "sub", "code",
+        F.round(_dot(F.col("qsub"), F.col("cvec")), 4).alias("part"),
+    )
+    enc = encoded.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(cell_col).alias("cell"),
+        F.posexplode("codes").alias("sub", "code"),
+    )
+    scored = (
+        enc.join(F.broadcast(tbl), on=["cell", "sub", "code"])
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.round(F.sum("part"), 4).alias("adc_sim"))
+    )
+    w_rank = Window.partitionBy("query_id").orderBy(
+        F.col("adc_sim").desc(), F.col("neighbor_id")
+    )
+    return scored.withColumn("rk", F.row_number().over(w_rank)).filter(F.col("rk") <= k)

@@ -1783,6 +1783,129 @@ def sim_ivf_kmeans64_topk(spark, sf_dir):
     return ivf_topk(with_cells, qs, k=5, cell_col="cell").orderBy("query_id", "rk")
 
 
+_IVFPQ_SQL = (
+    _UNIT_CTE
+    + r"""
+    , c0 AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cell, unit AS cvec
+      FROM (SELECT vec_id, unit FROM u ORDER BY vec_id LIMIT 4)
+    ), ca AS (
+      SELECT vec_id, unit, cell FROM (
+        SELECT u.vec_id, u.unit, c.cell,
+               ROW_NUMBER() OVER (
+                 PARTITION BY u.vec_id
+                 ORDER BY ROUND(list_sum(list_transform(generate_series(1, 64),
+                                i -> u.unit[i] * c.cvec[i])), 4) DESC, c.cell) AS rk
+        FROM u CROSS JOIN c0 c
+      ) WHERE rk = 1
+    ), dims AS (SELECT unnest(generate_series(1, 64)) AS i),
+    c1 AS (
+      SELECT cell, list(c ORDER BY pos) AS cvec FROM (
+        SELECT ca.cell, d.i AS pos, ROUND(AVG(ca.unit[d.i]), 6) AS c
+        FROM ca CROSS JOIN dims d GROUP BY ca.cell, d.i
+      ) GROUP BY cell
+    ), af AS (
+      SELECT vec_id, cell FROM (
+        SELECT u.vec_id, c.cell,
+               ROW_NUMBER() OVER (
+                 PARTITION BY u.vec_id
+                 ORDER BY ROUND(list_sum(list_transform(generate_series(1, 64),
+                                i -> u.unit[i] * c.cvec[i])), 4) DESC, c.cell) AS rk
+        FROM u CROSS JOIN c1 c
+      ) WHERE rk = 1
+    ),
+    subs AS (
+      SELECT vec_id, 0 AS sub, unit[1:32] AS svec FROM u
+      UNION ALL
+      SELECT vec_id, 1 AS sub, unit[33:64] AS svec FROM u
+    ),
+    p0 AS (
+      SELECT sub, ROW_NUMBER() OVER (PARTITION BY sub ORDER BY vec_id) - 1 AS code,
+             svec AS cvec
+      FROM subs
+      WHERE vec_id IN (SELECT vec_id FROM u ORDER BY vec_id LIMIT 4)
+    ),
+    pa AS (
+      SELECT vec_id, sub, code, svec FROM (
+        SELECT s.vec_id, s.sub, c.code, s.svec,
+               ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.sub
+                 ORDER BY ROUND(list_sum(list_transform(generate_series(1, 32),
+                                i -> s.svec[i] * c.cvec[i])), 4) DESC, c.code) AS rk
+        FROM subs s JOIN p0 c ON s.sub = c.sub
+      ) WHERE rk = 1
+    ),
+    sdims AS (SELECT unnest(generate_series(1, 32)) AS i),
+    p1 AS (
+      SELECT sub, code, list(c ORDER BY pos) AS cvec FROM (
+        SELECT pa.sub, pa.code, d.i AS pos, ROUND(AVG(pa.svec[d.i]), 6) AS c
+        FROM pa CROSS JOIN sdims d GROUP BY pa.sub, pa.code, d.i
+      ) GROUP BY sub, code
+    ),
+    codes AS (
+      SELECT vec_id, sub, code FROM (
+        SELECT s.vec_id, s.sub, c.code,
+               ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.sub
+                 ORDER BY ROUND(list_sum(list_transform(generate_series(1, 32),
+                                i -> s.svec[i] * c.cvec[i])), 4) DESC, c.code) AS rk
+        FROM subs s JOIN p1 c ON s.sub = c.sub
+      ) WHERE rk = 1
+    ),
+    q AS (SELECT vec_id AS query_id, cell FROM af WHERE vec_id % 25 = 0),
+    tbl AS (
+      SELECT s.vec_id AS query_id, s.sub, c.code,
+             ROUND(list_sum(list_transform(generate_series(1, 32),
+                   i -> s.svec[i] * c.cvec[i])), 4) AS part
+      FROM subs s JOIN p1 c ON s.sub = c.sub
+      WHERE s.vec_id % 25 = 0
+    ),
+    member AS (
+      SELECT q.query_id, a.vec_id AS neighbor_id
+      FROM af a JOIN q ON a.cell = q.cell AND a.vec_id <> q.query_id
+    ),
+    scored AS (
+      SELECT mb.query_id, mb.neighbor_id, ROUND(SUM(t.part), 4) AS adc_sim
+      FROM member mb
+      JOIN codes e ON e.vec_id = mb.neighbor_id
+      JOIN tbl t ON t.query_id = mb.query_id AND t.sub = e.sub AND t.code = e.code
+      GROUP BY mb.query_id, mb.neighbor_id
+    )
+    SELECT query_id, neighbor_id, adc_sim, rk FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY adc_sim DESC, neighbor_id) AS rk
+      FROM scored
+    ) WHERE rk <= 5 ORDER BY query_id, rk
+    """
+)
+
+
+@query("sim_ivfpq_topk", _IVFPQ_SQL)
+def sim_ivfpq_topk(spark, sf_dir):
+    """IVF-PQ: both ANN halves composed into the index a 10^9-vector
+    corpus actually serves from — a Lloyd-trained coarse quantizer prunes
+    candidates to the query's cell (IVF), and scoring inside the cell
+    reads only PQ codes via the broadcast ADC table (no raw corpus vector
+    is touched at query time). Train both quantizers Spark-side
+    (kmeans_cells_lloyd k=4; train_pq m=2, ksub=4), encode once with the
+    broadcast-tensor Arrow path, then one (cell, sub, code) broadcast
+    equi-join + partial-agg sum (functions/similarity.py ivfpq_adc_topk).
+    The oracle unrolls BOTH trainers and the pruned ADC scoring in one
+    SQL composition of the sim_ivf_kmeans_topk and sim_pq_adc_topk
+    oracles — same determinism contract throughout."""
+    from theta_spark.functions.similarity import (
+        ivfpq_adc_topk,
+        kmeans_cells_lloyd,
+        pq_encode,
+        train_pq,
+    )
+
+    e = _load(spark, sf_dir, "embeddings")
+    assign, _cents = kmeans_cells_lloyd(e, k=4, iters=1)
+    cbs = train_pq(e, m=2, ksub=4, iters=1)
+    enc = pq_encode(e, cbs, m=2).join(assign, on="vec_id")
+    qs = e.join(assign, on="vec_id").filter(F.col("vec_id") % 25 == 0)
+    return ivfpq_adc_topk(enc, qs, cbs, k=5, m=2).orderBy("query_id", "rk")
+
+
 # ===================================================================
 # Graph analytics over the materialized KG (functions/graph.py)
 # ===================================================================
