@@ -351,10 +351,45 @@ def run_bench(
             shutil.rmtree(workdir, ignore_errors=True)
 
     kg_all = [_kg_trial() for _ in range(kg_trials)]
-    best_tm, best_m = min(kg_all, key=lambda p: p[1]["end_to_end_sec"])
+
+    # adaptive retry (round 5): best-of-N absorbs §H's burst-poisoned
+    # trials only if at least one trial landed in a clean window. When
+    # even the BEST trial's in-run sha unit ran well above this bench's
+    # own idle calibration, every fixed trial was degraded — spend up to
+    # SPARK_GRAFT_BENCH_KG_EXTRA (default 2) additional trials hunting a
+    # clean window before publishing. Ratio-gated on the same fixed-work
+    # probe every artifact carries, so the retry condition is itself
+    # host-state-normalized; disabled in single-trial modes (bench_scaling
+    # does its own best-of-N in separate JVMs).
+    calib_t1 = kg.get("host_calib", {}).get("t1_s") or 0.0
+
+    def _best():
+        return min(kg_all, key=lambda p: p[1]["end_to_end_sec"])
+
+    def _degraded(m: dict) -> bool:
+        # two independent interference modes (BENCH.md §H/§W): steal-
+        # visible vCPU theft (the counter moves; >~1.5% is not citable)
+        # and steal-INVISIBLE throttling (counter near zero, the fixed-
+        # work sha unit runs slow vs this bench's own idle calib). Either
+        # one marks the trial degraded. Measured: a 10%-steal storm ran
+        # the sha unit at 1.11x calib — the unit alone misses that mode.
+        u = m.get("in_run_unit_s", -1.0)
+        slow_unit = calib_t1 > 0 and u > 0 and u > 1.25 * calib_t1
+        return slow_unit or m.get("steal_pct", 0.0) > 1.5
+
+    extra_budget = int(os.environ.get("SPARK_GRAFT_BENCH_KG_EXTRA", "2")) if kg_trials > 1 else 0
+    extras_run = 0
+    while extra_budget > 0 and _degraded(_best()[1]):
+        kg_all.append(_kg_trial())
+        extra_budget -= 1
+        extras_run += 1
+    if extras_run:
+        kg["extra_trials"] = extras_run
+
+    best_tm, best_m = _best()
     timings.update(best_tm)
     kg.update(best_m)
-    if kg_trials > 1:
+    if len(kg_all) > 1:
         kg["trials_all"] = [
             {
                 "end_to_end_sec": m["end_to_end_sec"],

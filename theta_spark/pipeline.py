@@ -734,10 +734,13 @@ def _commit_graph_layer(
                 n, _, t = build_nodes_edges(triples, mentions, cfg, canon=canon)
                 memo["canon"] = canon
                 memo["n"] = n
-                # lazy plan: in full mode edge_provenance's write
-                # materializes the canonical-keyed stream once and the
-                # edges aggregate reads the WRITTEN snapshot; in delta
-                # mode `t` is never materialized at all
+                # lazy canonical-keyed stream: in full mode BOTH the
+                # edge_provenance write and the edges aggregate consume it
+                # concurrently (same plan, two independent jobs — the agg
+                # re-runs the cheap broadcast-canon join instead of
+                # waiting for the snapshot write, taking the edges wall
+                # off the tail's critical path); in delta mode `t` is
+                # never materialized at all
                 memo["t"] = t
         return memo
 
@@ -774,10 +777,28 @@ def _commit_graph_layer(
             stacklevel=2,
         )
 
+    def _edges_from_stream():
+        # full mode: aggregate the SAME lazy canonical stream the
+        # provenance writer materializes — row-identical to aggregating
+        # the written snapshot (pinned by the audit test: edges ==
+        # groupBy(edge_provenance)), but runs as a concurrent job instead
+        # of serializing behind the biggest write. The recomputed work is
+        # one broadcast-canon join over the already-snapshotted triples.
+        return _parts()["t"].groupBy("subj", "pred", "obj").agg(
+            F.count(F.lit(1)).alias("n_docs")
+        )
+
     batch = [
         ("nodes", lambda: _parts()["n"], ["category"]),
         ("canon_map", lambda: _parts()["canon"], None),
-        *([] if prov_delta_mode else [("edge_provenance", _prov_layout, ["pred"])]),
+        *(
+            []
+            if prov_delta_mode
+            else [
+                ("edge_provenance", _prov_layout, ["pred"]),
+                ("edges", _edges_from_stream, ["pred"]),
+            ]
+        ),
         *(extra_stages or []),
     ]
     out = run_stages_parallel(spark, workdir, batch, resume=resume)
@@ -841,19 +862,22 @@ def _commit_graph_layer(
     else:
         edge_provenance = out["edge_provenance"]
 
-    # lineage at the graph layer: the canonical-keyed triple stream WITH
-    # (doc_id, sha256) provenance is its own snapshot, and the edges table
-    # aggregates FROM that snapshot — so the sha256 content invariant is
-    # auditable end-to-end (corpus -> mentions -> triples -> edge rows) and
-    # the canonicalization joins are not recomputed for the edges stage
-    def _build_edges():
-        return edge_provenance.groupBy("subj", "pred", "obj").agg(
-            F.count(F.lit(1)).alias("n_docs")
-        )
+    if prov_delta_mode:
+        # delta mode: the edges aggregate needs the RESOLVED provenance
+        # stream (base − retired ∪ delta), which exists only after the
+        # delta commit — sequential by data dependency. The sha256 content
+        # invariant stays auditable end-to-end either way: edges ==
+        # groupBy(edge_provenance) is pinned by test in both modes.
+        def _build_edges():
+            return edge_provenance.groupBy("subj", "pred", "obj").agg(
+                F.count(F.lit(1)).alias("n_docs")
+            )
 
-    edges = run_checkpointed(
-        spark, workdir, "edges", _build_edges, partition_cols=["pred"], resume=resume
-    )
+        edges = run_checkpointed(
+            spark, workdir, "edges", _build_edges, partition_cols=["pred"], resume=resume
+        )
+    else:
+        edges = out["edges"]
     result = {
         "nodes": out["nodes"],
         "canon_map": out["canon_map"],
