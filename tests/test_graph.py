@@ -272,3 +272,30 @@ def test_coreness_monotone_and_fixed_round_deterministic(spark):
         for r in coreness(path.repartition(7), rounds=4).collect()
     }
     assert again == set(prev.items())
+
+
+def test_checkpoint_every_is_bit_identical_and_truncates_plan(spark, edges_df):
+    """checkpoint_every bounds lineage (plan becomes a scan of cached
+    partitions past each interval) without changing a single bit — the
+    i64 / integer-count arithmetic is partitioning-invariant, so the
+    materialize points are unobservable in the result."""
+    from theta_spark.functions.graph import coreness, label_propagation
+
+    plain = pagerank(edges_df, iters=9)
+    ckpt = pagerank(edges_df, iters=9, checkpoint_every=3)
+    assert sorted(map(tuple, ckpt.select("node", "rank_s").collect())) == sorted(
+        map(tuple, plain.select("node", "rank_s").collect())
+    )
+    # the checkpointed variant's plan is rooted in the cached RDD (the
+    # last interval's materialize), not the full 9-round join chain
+    ckpt_plan = ckpt._jdf.queryExecution().optimizedPlan().toString()
+    plain_plan = plain._jdf.queryExecution().optimizedPlan().toString()
+    assert "LogicalRDD" in ckpt_plan
+    assert len(ckpt_plan) < len(plain_plan)
+
+    assert sorted(map(tuple, coreness(edges_df, rounds=8, checkpoint_every=2).collect())) == sorted(
+        map(tuple, coreness(edges_df, rounds=8).collect())
+    )
+    assert sorted(
+        map(tuple, label_propagation(edges_df, steps=6, checkpoint_every=2).collect())
+    ) == sorted(map(tuple, label_propagation(edges_df, steps=6).collect()))

@@ -66,6 +66,7 @@ def pagerank(
     src: str = "src",
     dst: str = "dst",
     init_ranks: DataFrame | None = None,
+    checkpoint_every: int | None = None,
 ) -> DataFrame:
     """Fixed-iteration PageRank in i64 fixed-point → (node, rank_s, rank).
 
@@ -81,8 +82,13 @@ def pagerank(
     ≤ SCALE (floor-division leaks stay in the floors, never duplicate).
 
     The loop below builds ONE lazy plan of depth `iters` (no action per
-    iteration); keep `iters` small (≤ ~8) or localCheckpoint between
-    rounds at cluster scale to cap lineage depth.
+    iteration). For deep iteration counts pass `checkpoint_every=k`:
+    every k rounds the rank frame is eagerly localCheckpointed, cutting
+    the logical plan to a scan of the cached partitions — Catalyst
+    analysis cost and lineage depth stay O(k) instead of O(iters) — at
+    the price of one job per interval (the GraphX-style materialize).
+    The i64 arithmetic is partitioning-invariant, so checkpointing
+    cannot change a bit of the result (pytest-pinned).
 
     `init_ranks` (node, rank_s) warm-starts the iteration — the
     INCREMENTAL path: after the pipeline merges an edge delta, reuse the
@@ -121,7 +127,7 @@ def pagerank(
     else:
         ranks = ndeg.select("node", "out_deg", F.lit(base).cast("long").alias("r"))
     teleport = ((100 - damping_pct) * base) // 100
-    for _ in range(iters):
+    for _i in range(iters):
         # `div` is Spark's exact integral division — a double `/` +
         # cast(long) can truncate one off near quotient boundaries, which
         # would break bit-equality with the integer-arithmetic oracle
@@ -148,6 +154,8 @@ def pagerank(
                 ).alias("r"),
             )
         )
+        if checkpoint_every and (_i + 1) % checkpoint_every == 0 and (_i + 1) < iters:
+            ranks = ranks.localCheckpoint(eager=True)
     return ranks.select(
         "node",
         F.col("r").alias("rank_s"),
@@ -290,7 +298,11 @@ def two_hop_reach(
 
 
 def coreness(
-    edges: DataFrame, rounds: int = 8, src: str = "src", dst: str = "dst"
+    edges: DataFrame,
+    rounds: int = 8,
+    src: str = "src",
+    dst: str = "dst",
+    checkpoint_every: int | None = None,
 ) -> DataFrame:
     """k-core decomposition of the undirected view of the KG edge set via
     the h-index iteration (Lu et al. 2016: repeatedly replacing each
@@ -309,8 +321,9 @@ def coreness(
     Scale shape: one lazy plan, 2 shuffles per round (adjacency equi-join
     on nbr, then the per-node window+agg) — the PageRank/LPA skeleton, so
     AQE skew-split covers hub entities; values are small ints bounded by
-    degree and non-increasing. Same lineage caveat: beyond ~8 rounds
-    insert localCheckpoint."""
+    degree and non-increasing. Deep `rounds` → pass `checkpoint_every`
+    (same bounded-lineage materialize as pagerank; the H-index is
+    partitioning-invariant so the result is bit-identical)."""
     from pyspark.sql import Window
 
     und = undirected_edges(edges, src, dst)
@@ -319,7 +332,7 @@ def coreness(
     )
     c = _degrees(und).withColumnRenamed("deg", "core")
     w = Window.partitionBy("node").orderBy(F.desc("c_nbr"))
-    for _ in range(rounds):
+    for _i in range(rounds):
         nb = adj.join(
             c.select(F.col("node").alias("nbr"), F.col("core").alias("c_nbr")), "nbr"
         ).select("node", "c_nbr")
@@ -328,11 +341,17 @@ def coreness(
             .groupBy("node")
             .agg(F.max(F.least(F.col("rn"), F.col("c_nbr"))).alias("core"))
         )
+        if checkpoint_every and (_i + 1) % checkpoint_every == 0 and (_i + 1) < rounds:
+            c = c.localCheckpoint(eager=True)
     return c
 
 
 def label_propagation(
-    edges: DataFrame, steps: int = 3, src: str = "src", dst: str = "dst"
+    edges: DataFrame,
+    steps: int = 3,
+    src: str = "src",
+    dst: str = "dst",
+    checkpoint_every: int | None = None,
 ) -> DataFrame:
     """Synchronous label propagation for community detection over the
     undirected view of the KG edge set — the same fixed-step contract as
@@ -348,8 +367,9 @@ def label_propagation(
     Scale shape: one lazy plan, 2 shuffles per step (adjacency ⨝ labels
     on nbr, then groupBy node) — the same iterative equi-join skeleton as
     PageRank, so AQE skew-split covers hub entities; label payloads are
-    node ids, never grow. Same lineage caveat as pagerank: beyond ~8
-    steps insert localCheckpoint."""
+    node ids, never grow. Deep `steps` → pass `checkpoint_every` (same
+    bounded-lineage materialize as pagerank; counts + total tie order
+    are partitioning-invariant so the result is bit-identical)."""
     und = undirected_edges(edges, src, dst)
     adj = und.select(F.col("a").alias("node"), F.col("b").alias("nbr")).unionByName(
         und.select(F.col("b").alias("node"), F.col("a").alias("nbr"))
@@ -358,7 +378,7 @@ def label_propagation(
     from pyspark.sql import Window
 
     w = Window.partitionBy("node").orderBy(F.desc("n"), F.asc("label"))
-    for _ in range(steps):
+    for _i in range(steps):
         cnt = (
             adj.join(labels.withColumnRenamed("node", "nbr"), "nbr")
             .groupBy("node", "label")
@@ -369,4 +389,6 @@ def label_propagation(
             .filter(F.col("rk") == 1)
             .select("node", "label")
         )
+        if checkpoint_every and (_i + 1) % checkpoint_every == 0 and (_i + 1) < steps:
+            labels = labels.localCheckpoint(eager=True)
     return labels
