@@ -340,3 +340,37 @@ def test_ivfpq_all_cells_probed_equals_pure_pq(spark):
         ).collect()
     )
     assert got == want
+
+
+def test_adc_shuffle_join_mode_bit_identical(spark):
+    """broadcast_table=False (batch-mode query sets too big to broadcast)
+    must change ONLY the physical join strategy: both PQ and IVF-PQ top-k
+    are bit-identical to the forced-broadcast serving path."""
+    from theta_spark.functions.similarity import (
+        ivfpq_adc_topk,
+        kmeans_cells_lloyd,
+        pq_adc_topk,
+        pq_encode,
+        train_pq,
+    )
+
+    e = _pq_embeddings(spark, n=40, dim=8, seed=5)
+    cbs = train_pq(e, m=2, ksub=4, iters=1, dim=8)
+    enc = pq_encode(e, cbs, m=2, dim=8)
+    qs = e.filter("vec_id % 10 = 0")
+
+    def rows(df):
+        return sorted(
+            (r.query_id, r.rk, r.neighbor_id, r.adc_sim) for r in df.collect()
+        )
+
+    assert rows(pq_adc_topk(enc, qs, cbs, k=5, m=2, dim=8, broadcast_table=False)) == rows(
+        pq_adc_topk(enc, qs, cbs, k=5, m=2, dim=8)
+    )
+
+    assign, _ = kmeans_cells_lloyd(e, k=3, iters=1)
+    enc_c = enc.join(assign, on="vec_id")
+    qs_c = qs.join(assign, on="vec_id")
+    assert rows(
+        ivfpq_adc_topk(enc_c, qs_c, cbs, k=5, m=2, dim=8, broadcast_table=False)
+    ) == rows(ivfpq_adc_topk(enc_c, qs_c, cbs, k=5, m=2, dim=8))

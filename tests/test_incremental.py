@@ -290,3 +290,52 @@ def test_rewrite_stage_full_flattens_chain(spark, v1_v2, tmp_path_factory):
     assert _rowset(read_stage_local(spark, w2, "mentions"), cols) == want
     # idempotent on an already-full stage
     assert _rowset(rewrite_stage_full(spark, w2, "mentions"), cols) == want
+
+
+def test_delta_max_chain_auto_flattens(spark, v1_v2, tmp_path_factory):
+    """delta_max_chain bounds read_stage's resolution chain WITHOUT a
+    manual maintenance pass: with the cap at 2, the first incremental
+    commits a depth-1 delta, the second reaches the cap and auto-flattens
+    into a self-contained snapshot (no delta_base), and resolved rows
+    still equal a full recompute. A third incremental chains off the
+    flattened run at depth 1 again."""
+    from theta_spark.config import PipelineConfig
+    from theta_spark.pipeline import (
+        read_stage_local,
+        run_pipeline_incremental,
+        stage_manifest,
+    )
+
+    c1, c2 = v1_v2
+    extra = ("mc", "x.py", "c9", "python", "def capped_fn(a):\n    return a\n")
+    c3 = c2.unionByName(spark.createDataFrame([extra], CORPUS_SCHEMA))
+    w1 = str(tmp_path_factory.mktemp("mc_v1"))
+    w2 = str(tmp_path_factory.mktemp("mc_v2"))
+    w3 = str(tmp_path_factory.mktemp("mc_v3"))
+    w4 = str(tmp_path_factory.mktemp("mc_v4"))
+    wf = str(tmp_path_factory.mktemp("mc_full"))
+
+    cfg = PipelineConfig(delta_max_chain=2)
+    run_pipeline(spark, c1, w1, cfg=cfg)
+    run_pipeline_incremental(spark, c2, w2, prior_workdir=w1, cfg=cfg)
+    m2 = stage_manifest(w2, "mentions")
+    assert m2.get("delta_base") == w1 and m2.get("delta_depth") == 1
+
+    inc3 = run_pipeline_incremental(spark, c3, w3, prior_workdir=w2, cfg=cfg)
+    # depth would be 2 == cap: flattened in place, chain cut
+    m3 = stage_manifest(w3, "mentions")
+    assert "delta_base" not in m3
+    assert m3.get("config")  # drift guard survives the flatten
+
+    cols = ["doc_id", "sha256", "category", "start", "end", "mention"]
+    full = run_pipeline(spark, c3, wf, cfg=cfg)
+    assert _rowset(inc3["mentions"], cols) == _rowset(full["mentions"], cols)
+    # self-contained: the local files ARE the resolved view
+    assert _rowset(read_stage_local(spark, w3, "mentions"), cols) == _rowset(
+        full["mentions"], cols
+    )
+
+    # a further incremental chains off the flattened snapshot at depth 1
+    run_pipeline_incremental(spark, c3, w4, prior_workdir=w3, cfg=cfg)
+    m4 = stage_manifest(w4, "mentions")
+    assert m4.get("delta_base") == w3 and m4.get("delta_depth") == 1

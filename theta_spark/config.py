@@ -61,6 +61,11 @@ class PipelineConfig:
                                    # snapshot; read_stage resolves base −
                                    # retired ∪ delta). False = full rewrite
                                    # of every stage, the pre-r5 behavior.
+    delta_max_chain: int = 8       # auto-flatten a delta stage back into a
+                                   # self-contained snapshot once this many
+                                   # incremental runs have chained (each
+                                   # link costs read_stage one anti-join);
+                                   # the Iceberg compaction-policy twin.
     shuffle_partitions: int = 32
     salt_buckets: int = 8          # salting for skewed canonical entities
     hot_key_threshold: int = 10_000

@@ -496,6 +496,7 @@ def pq_adc_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int = 64,
+    broadcast_table: bool = True,
 ) -> DataFrame:
     """(query_id, neighbor_id, adc_sim, rk): top-k by ADC similarity —
     sum over subspaces of table[sub][code], where the per-query table is
@@ -503,7 +504,15 @@ def pq_adc_topk(
     (q x m x ksub rows) is broadcast; the corpus side touches only its
     integer codes: explode to (id, sub, code), one broadcast-hash join,
     partial-agg sum to (query, neighbor) — no raw corpus vector is read
-    at query time, which is the entire point of PQ at scale."""
+    at query time, which is the entire point of PQ at scale.
+
+    The forced broadcast is right for serving-size query batches (the
+    table is nq*m*ksub rows — tiny). For BATCH mode (nq ~ corpus size,
+    e.g. all-pairs dedup over PQ codes) pass broadcast_table=False: the
+    hint is dropped and the (sub, code) equi-join shuffles/AQE-plans
+    normally. Join keys and arithmetic are identical either way, so the
+    result is bit-for-bit the same — only the physical join strategy
+    moves."""
     spark = encoded.sparkSession
     qsubs = with_unit_vec(queries, vec_col).select(
         F.col(id_col).alias("query_id"),
@@ -516,7 +525,7 @@ def pq_adc_topk(
         F.col(id_col).alias("neighbor_id"), F.posexplode("codes").alias("sub", "code")
     )
     scored = (
-        enc.join(F.broadcast(tbl), on=["sub", "code"])
+        enc.join(F.broadcast(tbl) if broadcast_table else tbl, on=["sub", "code"])
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .groupBy("query_id", "neighbor_id")
         .agg(F.round(F.sum("part"), 4).alias("adc_sim"))
@@ -537,6 +546,7 @@ def ivfpq_adc_topk(
     vec_col: str = "embedding",
     dim: int = 64,
     cell_col: str = "cell",
+    broadcast_table: bool = True,
 ) -> DataFrame:
     """IVF-PQ: the two halves composed — coarse-cell candidate pruning
     (IVF) over PQ-compressed scoring (ADC). `encoded` carries (id, codes,
@@ -551,7 +561,12 @@ def ivfpq_adc_topk(
     O(|probed cells| * m) index rows touched, never the corpus. This is
     the index shape (IVF for pruning + PQ for memory) a 10^9-vector
     corpus needs; both halves keep their separately-oracled determinism
-    contracts (half-up-4 dots, lowest code/cell on ties)."""
+    contracts (half-up-4 dots, lowest code/cell on ties).
+
+    broadcast_table: as in pq_adc_topk — the per-query table here is
+    nq*nprobe*m*ksub rows, so batch-mode callers (huge nq) should pass
+    False to let the (cell, sub, code) equi-join shuffle/AQE-plan instead
+    of forcing a driver-sized broadcast; results are bit-identical."""
     spark = encoded.sparkSession
     q = with_unit_vec(queries, vec_col)
     cell_t = dict(q.dtypes)[cell_col]
@@ -573,7 +588,7 @@ def ivfpq_adc_topk(
         F.posexplode("codes").alias("sub", "code"),
     )
     scored = (
-        enc.join(F.broadcast(tbl), on=["cell", "sub", "code"])
+        enc.join(F.broadcast(tbl) if broadcast_table else tbl, on=["cell", "sub", "code"])
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .groupBy("query_id", "neighbor_id")
         .agg(F.round(F.sum("part"), 4).alias("adc_sim"))

@@ -290,6 +290,7 @@ def run_checkpointed_delta(
     partition_cols: list | None = None,
     resume: bool = True,
     extra_manifest: dict | None = None,
+    max_chain: int | None = None,
 ) -> DataFrame:
     """Delta-referencing stage commit (the parquet-fallback twin of an
     Iceberg MERGE INTO): write ONLY the rows this run changed plus a tiny
@@ -299,6 +300,16 @@ def run_checkpointed_delta(
     proportional to the delta, not the corpus (VERDICT r4 #6: the 8.7M-row
     provenance snapshot was rewritten in full for a 3-doc delta).
 
+    Chain bounding: the manifest records `delta_depth` (links back to the
+    nearest self-contained snapshot — each link costs read_stage one
+    anti-join at resolve time). When `max_chain` is set and this commit
+    would reach it, the stage is flattened IN PLACE via rewrite_stage_full
+    (the Iceberg compaction-policy twin), so resolution cost stays O(1)
+    no matter how many incremental runs chain — without the operator
+    having to remember the maintenance pass. Crash-safe: flattening is a
+    fresh full commit; a crash before it leaves a valid (deeper) delta
+    stage that re-flattens on resume.
+
     Lineage/audit cover the delta files (the base snapshot is audited by
     its own run's lineage). Returns the RESOLVED view."""
 
@@ -307,6 +318,7 @@ def run_checkpointed_delta(
             "overwrite"
         ).parquet(os.path.join(workdir, stage, "_retired"))
 
+    depth = int(stage_manifest(base_workdir, stage).get("delta_depth", 0)) + 1
     run_checkpointed(
         spark,
         workdir,
@@ -314,9 +326,15 @@ def run_checkpointed_delta(
         delta_build,
         partition_cols=partition_cols,
         resume=resume,
-        extra_manifest={**(extra_manifest or {}), "delta_base": base_workdir},
+        extra_manifest={
+            **(extra_manifest or {}),
+            "delta_base": base_workdir,
+            "delta_depth": depth,
+        },
         post_write=_post,
     )
+    if max_chain is not None and depth >= max_chain:
+        return rewrite_stage_full(spark, workdir, stage)
     return read_stage(spark, workdir, stage)
 
 
@@ -625,6 +643,7 @@ def run_pipeline_incremental(
         mentions = run_checkpointed_delta(
             spark, workdir, "mentions", _build_mentions_delta, _retired_docs,
             prior_workdir, resume=resume, extra_manifest={"config": cfg_fp},
+            max_chain=cfg.delta_max_chain,
         )
     else:
         mentions = run_checkpointed(
@@ -644,6 +663,7 @@ def run_pipeline_incremental(
         triples = run_checkpointed_delta(
             spark, workdir, "triples", _build_triples_delta, _retired_docs,
             prior_workdir, resume=resume, extra_manifest={"config": cfg_fp},
+            max_chain=cfg.delta_max_chain,
         )
     else:
         triples = run_checkpointed(
@@ -858,6 +878,7 @@ def _commit_graph_layer(
             delta_base,
             partition_cols=["pred"],
             resume=resume,
+            max_chain=cfg.delta_max_chain,
         )
     else:
         edge_provenance = out["edge_provenance"]
