@@ -299,3 +299,51 @@ def test_checkpoint_every_is_bit_identical_and_truncates_plan(spark, edges_df):
     assert sorted(
         map(tuple, label_propagation(edges_df, steps=6, checkpoint_every=2).collect())
     ) == sorted(map(tuple, label_propagation(edges_df, steps=6).collect()))
+
+
+def _py_ppr(edges, seed_nodes, iters=4, damping=85):
+    nodes = sorted({u for e in edges for u in e})
+    seeds = sorted(set(seed_nodes) & set(nodes))
+    ns = len(seeds)
+    sbase = SCALE // ns
+    outd = {}
+    for s, _ in set(edges):
+        outd[s] = outd.get(s, 0) + 1
+    r = {v: (sbase if v in seeds else 0) for v in nodes}
+    tele = ((100 - damping) * sbase) // 100
+    for _ in range(iters):
+        s = {v: 0 for v in nodes}
+        for u, v in set(edges):
+            s[v] += r[u] // outd[u]
+        dm = sum(r[v] for v in nodes if v not in outd)
+        r = {
+            v: (tele if v in seeds else 0)
+            + (damping * (s[v] + (dm // ns if v in seeds else 0))) // 100
+            for v in nodes
+        }
+    return r
+
+
+def test_personalized_pagerank_matches_python_replica(spark, edges_df):
+    seeds = spark.createDataFrame([(0,), (7,), (23,)], "node: long")
+    got = {
+        r["node"]: r["rank_s"]
+        for r in pagerank(edges_df, iters=4, seeds=seeds).collect()
+    }
+    want = _py_ppr(EDGES, [0, 7, 23], iters=4)
+    assert got == want
+    # mass stays localized around the seed set: seeds outrank the median
+    ranked = sorted(got.values())
+    assert all(got[s] > ranked[len(ranked) // 2] for s in (0, 7, 23))
+
+
+def test_personalized_pagerank_guards(spark, edges_df):
+    import pytest as _pytest
+
+    absent = spark.createDataFrame([(999,)], "node: long")
+    with _pytest.raises(ValueError, match="seed"):
+        pagerank(edges_df, iters=2, seeds=absent)
+    seeds = spark.createDataFrame([(0,)], "node: long")
+    init = spark.createDataFrame([(0, SCALE)], "node: long, rank_s: long")
+    with _pytest.raises(ValueError, match="mutually exclusive"):
+        pagerank(edges_df, iters=2, seeds=seeds, init_ranks=init)

@@ -67,6 +67,7 @@ def pagerank(
     dst: str = "dst",
     init_ranks: DataFrame | None = None,
     checkpoint_every: int | None = None,
+    seeds: DataFrame | None = None,
 ) -> DataFrame:
     """Fixed-iteration PageRank in i64 fixed-point → (node, rank_s, rank).
 
@@ -96,7 +97,20 @@ def pagerank(
     few refinement iterations instead of the full count from uniform.
     Still exact integer arithmetic, so an oracle can unroll the same
     warm-started recurrence and hash-match bit for bit.
+
+    `seeds` (single `node` column) switches to PERSONALIZED PageRank —
+    the KG consumer for "entities related to X": teleport and dangling
+    mass return to the seed set instead of uniformly, i.e.
+        r'(v) = (1-α)·T(v) + α·(S(v) + D·T(v))
+    with T uniform over the seeds present in the graph (integer form:
+    SCALE//n_seeds at seeds, 0 elsewhere; init = T). Same one-lazy-plan /
+    O(iters)-shuffle shape, same exact i64 arithmetic — the recurrence
+    stays SQL-unrollable and bit-exact. Mutually exclusive with
+    `init_ranks` (warm-started PPR would need the seed base as the
+    new-node fallback; keep the contracts separate).
     """
+    if seeds is not None and init_ranks is not None:
+        raise ValueError("pagerank: seeds and init_ranks are mutually exclusive")
     e = edges.select(src, dst).distinct().localCheckpoint(eager=False)
     nodes = graph_nodes(e, src, dst).localCheckpoint(eager=False)
     n_nodes = nodes.count()  # one scalar job up front; O(1) driver traffic
@@ -115,6 +129,57 @@ def pagerank(
     ndeg = nodes.join(outd, "node", "left").select(
         "node", F.coalesce("out_deg", F.lit(0)).cast("long").alias("out_deg")
     ).localCheckpoint(eager=False)
+
+    if seeds is not None:
+        ndeg = ndeg.join(
+            seeds.select("node").distinct().withColumn("is_seed", F.lit(1)),
+            "node",
+            "left",
+        ).select(
+            "node", "out_deg", F.coalesce("is_seed", F.lit(0)).cast("int").alias("is_seed")
+        ).localCheckpoint(eager=False)
+        n_seeds = ndeg.filter(F.col("is_seed") == 1).count()
+        if n_seeds == 0:
+            raise ValueError("pagerank: no seed node is present in the graph")
+        seed_base = SCALE // n_seeds
+        ranks = ndeg.select(
+            "node", "out_deg", "is_seed",
+            F.when(F.col("is_seed") == 1, F.lit(seed_base))
+            .otherwise(F.lit(0)).cast("long").alias("r"),
+        )
+        seed_teleport = ((100 - damping_pct) * seed_base) // 100
+        for _i in range(iters):
+            contrib = (
+                e.join(ranks.filter(F.col("out_deg") > 0), e[src] == F.col("node"))
+                .select(F.col(dst).alias("node"), F.expr("r div out_deg").alias("c"))
+                .groupBy("node")
+                .agg(F.sum("c").alias("s"))
+            )
+            dang = ranks.filter(F.col("out_deg") == 0).agg(
+                F.coalesce(F.sum("r"), F.lit(0)).cast("long").alias("dm")
+            )
+            ranks = (
+                ndeg.join(contrib, "node", "left")
+                .crossJoin(F.broadcast(dang))
+                .select(
+                    "node",
+                    "out_deg",
+                    "is_seed",
+                    F.expr(
+                        f"CAST((CASE WHEN is_seed = 1 THEN {seed_teleport} ELSE 0 END)"
+                        f" + (({damping_pct} * (coalesce(s, 0)"
+                        f" + (CASE WHEN is_seed = 1 THEN dm div {n_seeds} ELSE 0 END)))"
+                        f" div 100) AS BIGINT)"
+                    ).alias("r"),
+                )
+            )
+            if checkpoint_every and (_i + 1) % checkpoint_every == 0 and (_i + 1) < iters:
+                ranks = ranks.localCheckpoint(eager=True)
+        return ranks.select(
+            "node",
+            F.col("r").alias("rank_s"),
+            (F.col("r") / F.lit(float(SCALE))).alias("rank"),
+        )
 
     if init_ranks is not None:
         # warm start: prior rank where known, uniform base for new nodes

@@ -2010,6 +2010,47 @@ def gr_degree_stats(spark, sf_dir):
     return degree_stats(_graph_edges(spark, sf_dir)).orderBy("node")
 
 
+
+def _ppr_oracle_sql(iters: int = 4, damping: int = 85, scale: int = 10**12) -> str:
+    """Personalized-PageRank twin of _pagerank_oracle_sql: teleport and
+    dangling mass return to the seed set (nodes divisible by 100) instead
+    of uniformly — the same exact-i64 recurrence pagerank(seeds=...) runs,
+    unrolled as SQL CTEs."""
+    parts = [
+        f"""WITH {_GRAPH_SQL_CTE},
+nodes AS (SELECT src AS node FROM ge UNION SELECT dst FROM ge),
+seeds AS (SELECT node FROM nodes WHERE node % 100 = 0),
+params AS (SELECT COUNT(*)::BIGINT AS ns, ({scale} // COUNT(*))::BIGINT AS sbase FROM seeds),
+outd AS (SELECT src AS node, COUNT(*)::BIGINT AS out_deg FROM ge GROUP BY src),
+ndeg AS (SELECT n.node, COALESCE(o.out_deg, 0)::BIGINT AS out_deg,
+                CASE WHEN s.node IS NOT NULL THEN 1 ELSE 0 END AS is_seed
+         FROM nodes n LEFT JOIN outd o ON n.node = o.node
+         LEFT JOIN seeds s ON n.node = s.node),
+r0 AS (SELECT node, out_deg, is_seed,
+              CAST(CASE WHEN is_seed = 1 THEN (SELECT sbase FROM params) ELSE 0 END AS BIGINT) AS r
+       FROM ndeg)"""
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f"""c{i} AS (
+  SELECT e.dst AS node, SUM(r.r // r.out_deg)::BIGINT AS s
+  FROM ge e JOIN r{i - 1} r ON e.src = r.node WHERE r.out_deg > 0 GROUP BY e.dst
+),
+d{i} AS (SELECT COALESCE(SUM(r), 0)::BIGINT AS dm FROM r{i - 1} WHERE out_deg = 0),
+r{i} AS (
+  SELECT n.node, n.out_deg, n.is_seed,
+    CAST((CASE WHEN n.is_seed = 1 THEN (((100 - {damping}) * p.sbase) // 100) ELSE 0 END)
+         + (({damping} * (COALESCE(c.s, 0)
+            + (CASE WHEN n.is_seed = 1 THEN (d.dm // p.ns) ELSE 0 END))) // 100) AS BIGINT) AS r
+  FROM ndeg n LEFT JOIN c{i} c ON n.node = c.node CROSS JOIN d{i} d CROSS JOIN params p
+)"""
+        )
+    return (
+        ",\n".join(parts)
+        + f"\nSELECT node, r AS rank_s, r / {float(scale)} AS rank FROM r{iters} ORDER BY node"
+    )
+
+
 @query("gr_pagerank", _pagerank_oracle_sql(iters=4))
 def gr_pagerank(spark, sf_dir):
     """Fixed-iteration PageRank in i64 fixed-point (functions/graph.py):
@@ -2021,6 +2062,21 @@ def gr_pagerank(spark, sf_dir):
     from theta_spark.functions.graph import pagerank
 
     return pagerank(_graph_edges(spark, sf_dir), iters=4).orderBy("node")
+
+
+@query("gr_ppr", _ppr_oracle_sql(iters=4))
+def gr_ppr(spark, sf_dir):
+    """Personalized PageRank (functions/graph.py pagerank(seeds=...)):
+    "entities related to X" over the KG — teleport and dangling mass
+    return to the seed set (nodes divisible by 100) instead of uniformly.
+    Same one-lazy-plan / O(iters)-shuffle skeleton and exact i64
+    fixed-point arithmetic as gr_pagerank, so the oracle unrolls the
+    seeded recurrence in SQL and hash-matches rank_s bit for bit."""
+    from theta_spark.functions.graph import graph_nodes, pagerank
+
+    e = _graph_edges(spark, sf_dir)
+    seeds = graph_nodes(e).filter(F.col("node") % 100 == 0)
+    return pagerank(e, iters=4, seeds=seeds).orderBy("node")
 
 
 @query(
