@@ -339,3 +339,14 @@ def test_delta_max_chain_auto_flattens(spark, v1_v2, tmp_path_factory):
     run_pipeline_incremental(spark, c3, w4, prior_workdir=w3, cfg=cfg)
     m4 = stage_manifest(w4, "mentions")
     assert m4.get("delta_base") == w3 and m4.get("delta_depth") == 1
+
+    # the flatten preserves the manifest-recorded partition spec: the
+    # flattened edge_provenance snapshot still has pred= directories and
+    # no leftover staging dir
+    import os
+
+    prov = stage_manifest(w3, "edge_provenance")
+    assert "delta_base" not in prov and prov.get("partition_cols") == ["pred"]
+    entries = os.listdir(os.path.join(w3, "edge_provenance"))
+    assert any(d.startswith("pred=") for d in entries), entries
+    assert not os.path.exists(os.path.join(w3, "edge_provenance__flatten_tmp"))

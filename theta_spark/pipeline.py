@@ -271,6 +271,7 @@ def run_checkpointed(
         "rows_out": int(sum(r["rows_out"] for r in lineage_rows)),
         "n_files": len(lineage_rows),
         "wall_ms": int((time.time() - t0) * 1000),
+        "partition_cols": list(partition_cols) if partition_cols else None,
         "schema": out.schema.simpleString(),
         "schema_json": json.dumps(out.schema.jsonValue()),
         **(extra_manifest or {}),
@@ -345,18 +346,38 @@ def rewrite_stage_full(spark: SparkSession, workdir: str, stage: str) -> DataFra
     maintenance pass that bounds read_stage's chain depth — run it every
     few increments, exactly like Iceberg snapshot compaction; afterwards
     the base workdirs can be garbage-collected if nothing else references
-    them. No-op (returns the snapshot) when the stage is already full."""
+    them. No-op (returns the snapshot) when the stage is already full.
+
+    Durability: the resolved view is first written to a TEMP parquet dir
+    beside the stage (not a localCheckpoint — executor block loss on a
+    cluster would make a checkpoint-only copy unrecomputable once the
+    source files below are deleted), and only then is the old stage dir
+    removed and recommitted from the durable temp. The manifest-recorded
+    partition spec (e.g. edge_provenance's pred dirs) is re-applied, so
+    flattening never degrades downstream partition pruning."""
     import shutil
 
     manifest = stage_manifest(workdir, stage)
     if not manifest.get("delta_base"):
         return read_stage(spark, workdir, stage)
-    resolved = read_stage(spark, workdir, stage).localCheckpoint(eager=True)
+    tmp = os.path.join(workdir, f"{stage}__flatten_tmp")
+    resolved = read_stage(spark, workdir, stage)
+    schema = resolved.schema
+    resolved.write.mode("overwrite").parquet(tmp)
     extra = {k: v for k, v in manifest.items() if k in ("config",)}
+    pcols = manifest.get("partition_cols")
     shutil.rmtree(os.path.join(workdir, stage))
-    return run_checkpointed(
-        spark, workdir, stage, lambda: resolved, resume=False, extra_manifest=extra
+    out = run_checkpointed(
+        spark,
+        workdir,
+        stage,
+        lambda: spark.read.schema(schema).parquet(tmp),
+        partition_cols=pcols,
+        resume=False,
+        extra_manifest=extra,
     )
+    shutil.rmtree(tmp, ignore_errors=True)
+    return out
 
 
 def run_stages_parallel(spark: SparkSession, workdir: str, stages: list, resume: bool = True) -> dict:
@@ -553,7 +574,22 @@ def run_pipeline_incremental(
     for st in ("mentions", "triples"):
         manifest = stage_manifest(prior_workdir, st)
         prior_cfg = manifest.get("config")
-        if prior_cfg is not None and prior_cfg != cfg_fp:
+        if prior_cfg is not None:
+            # fingerprint-format migration: snapshots written before the
+            # extraction-relevant-fields filter recorded the FULL config
+            # dict, so a raw string compare would false-positive on every
+            # pre-upgrade snapshot even when the config is identical.
+            # Re-project both sides onto the extraction fields they share
+            # before comparing.
+            try:
+                prior_sub = json.loads(prior_cfg)
+                cur_sub = json.loads(cfg_fp)
+                shared = [k for k in _EXTRACTION_CFG_FIELDS if k in prior_sub]
+                prior_cfg = json.dumps({k: prior_sub[k] for k in shared}, sort_keys=True)
+                cfg_cmp = json.dumps({k: cur_sub[k] for k in shared}, sort_keys=True)
+            except (ValueError, KeyError):
+                cfg_cmp = cfg_fp  # unparseable prior: fall back to raw compare
+        if prior_cfg is not None and prior_cfg != cfg_cmp:
             raise ValueError(
                 f"incremental run config does not match prior run's {st} stage: "
                 f"prior={prior_cfg} current={cfg_fp}; re-run full (or pass the "
