@@ -62,3 +62,54 @@ def test_fingerprint_stability_and_locality(spark):
         for i in range(len(a) - 7)
     )
     assert fp == mins
+
+
+def test_bm25_matches_numpy_replica(spark):
+    """bm25_topk == a definitional numpy BM25 (Lucene idf) on a small
+    corpus, including idf of a term present in every doc and tf=0 docs."""
+    import math
+
+    docs = [
+        ("d0", "spark join shuffle join spark"),
+        ("d1", "join filter scan"),
+        ("d2", "spark spark spark agg"),
+        ("d3", "scan scan scan scan scan scan"),
+        ("d4", "window agg merge"),
+    ]
+    terms = ["spark", "join", "scan"]
+    k1, b = 1.2, 0.75
+    toks = [d[1].split() for d in docs]
+    n = len(docs)
+    avgdl = sum(len(t) for t in toks) / n
+    want = []
+    for (doc_id, _), tk in zip(docs, toks):
+        s = 0.0
+        for term in terms:
+            tf = tk.count(term)
+            df = sum(1 for t2 in toks if term in t2)
+            idf = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+            s += idf * (tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * len(tk) / avgdl)))
+        want.append((doc_id, round(s, 6)))
+    want.sort(key=lambda t: (-t[1], t[0]))
+
+    from theta_spark.functions.text import bm25_topk
+
+    df = spark.createDataFrame(docs, "doc_id string, text string")
+    got = [(r["doc_id"], r["bm25"]) for r in bm25_topk(df, terms, k=5).collect()]
+    assert [g[0] for g in got] == [w[0] for w in want]
+    for (gd, gs), (wd, ws) in zip(got, want):
+        assert abs(gs - ws) < 1e-9, (gd, gs, ws)
+
+
+def test_bm25_topk_cut_and_absent_term(spark):
+    """k cuts deterministically (rounded score desc, id asc); a term
+    absent from every doc contributes 0 to every score and never NaNs."""
+    from theta_spark.functions.text import bm25_topk
+
+    docs = [(f"d{i}", "x " * (i + 1) + "y") for i in range(6)]
+    df = spark.createDataFrame(docs, "doc_id string, text string")
+    out = bm25_topk(df, ["y", "zz_not_present"], k=3).collect()
+    assert len(out) == 3
+    assert all(r["bm25"] == r["bm25"] for r in out)  # no NaN
+    # shorter docs score higher on the same tf (length normalization)
+    assert [r["doc_id"] for r in out] == ["d0", "d1", "d2"]

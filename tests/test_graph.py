@@ -347,3 +347,91 @@ def test_personalized_pagerank_guards(spark, edges_df):
     init = spark.createDataFrame([(0, SCALE)], "node: long, rank_s: long")
     with _pytest.raises(ValueError, match="mutually exclusive"):
         pagerank(edges_df, iters=2, seeds=seeds, init_ranks=init)
+
+
+def test_link_prediction_known_square(spark):
+    """4-cycle a-b-c-d: the two diagonals (a,c) and (b,d) are the only
+    non-edge pairs, each with 2 common neighbors and Jaccard 2/(2+2-2)=1.0."""
+    from theta_spark.functions.graph import link_prediction
+
+    e = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 1)], "src: long, dst: long"
+    )
+    rows = {
+        (r["a"], r["b"]): (r["cn"], r["jaccard"])
+        for r in link_prediction(e, top=10).collect()
+    }
+    assert rows == {(1, 3): (2, 1.0), (2, 4): (2, 1.0)}
+
+
+def test_link_prediction_excludes_existing_edges_and_python_replica(spark, edges_df):
+    """Candidates never include an existing undirected edge; cn/jaccard
+    match a brute-force python replica on the 40-node pseudo-random graph."""
+    from theta_spark.functions.graph import link_prediction
+
+    und = {tuple(sorted(e)) for e in EDGES}
+    nbrs: dict[int, set[int]] = {}
+    for u, v in und:
+        nbrs.setdefault(u, set()).add(v)
+        nbrs.setdefault(v, set()).add(u)
+    cands = []
+    for a, b in itertools.combinations(sorted(nbrs), 2):
+        if (a, b) in und:
+            continue
+        cn = len(nbrs[a] & nbrs[b])
+        if cn:
+            cands.append((cn, a, b, round(cn / (len(nbrs[a]) + len(nbrs[b]) - cn), 6)))
+    cands.sort(key=lambda t: (-t[0], t[1], t[2]))
+    want = [(a, b, cn, j) for cn, a, b, j in cands[:20]]
+    got = [
+        (r["a"], r["b"], r["cn"], r["jaccard"])
+        for r in link_prediction(edges_df, top=20).collect()
+    ]
+    assert got == want
+    assert all((a, b) not in und for a, b, _, _ in got)
+
+
+def test_bfs_distances_known_path_directed(spark):
+    """Directed path 1->2->3->4 plus a back-edge 4->1: from seed {1},
+    3 rounds reach 2,3,4 at dists 1,2,3; direction is respected (no
+    dist via reverse edges)."""
+    from theta_spark.functions.graph import bfs_distances
+
+    e = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 1)], "src: long, dst: long"
+    )
+    seeds = spark.createDataFrame([(1,)], "node: long")
+    got = {r["node"]: r["dist"] for r in bfs_distances(e, seeds, rounds=3).collect()}
+    assert got == {1: 0, 2: 1, 3: 2, 4: 3}
+    # fewer rounds -> bounded frontier: dist>rounds nodes absent
+    got2 = {r["node"]: r["dist"] for r in bfs_distances(e, seeds, rounds=2).collect()}
+    assert got2 == {1: 0, 2: 1, 3: 2}
+
+
+def test_bfs_distances_python_replica_multisource(spark, edges_df):
+    """Multi-source BFS on the 40-node graph == python BFS min-dist;
+    checkpoint_every is bit-unobservable."""
+    from theta_spark.functions.graph import bfs_distances
+
+    seeds = [v for v in NODES if v % 10 == 0]
+    adj: dict[int, list[int]] = {}
+    for u, v in EDGES:
+        adj.setdefault(u, []).append(v)
+    dist = {s: 0 for s in seeds}
+    frontier = list(seeds)
+    for r in range(1, 4):
+        nxt = []
+        for u in frontier:
+            for v in adj.get(u, []):
+                if v not in dist:
+                    dist[v] = r
+                    nxt.append(v)
+        frontier = nxt
+    sdf = spark.createDataFrame([(s,) for s in seeds], "node: long")
+    got = {r["node"]: r["dist"] for r in bfs_distances(edges_df, sdf, rounds=3).collect()}
+    assert got == dist
+    got_ck = {
+        r["node"]: r["dist"]
+        for r in bfs_distances(edges_df, sdf, rounds=3, checkpoint_every=1).collect()
+    }
+    assert got_ck == got

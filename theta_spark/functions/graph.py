@@ -457,3 +457,118 @@ def label_propagation(
         if checkpoint_every and (_i + 1) % checkpoint_every == 0 and (_i + 1) < steps:
             labels = labels.localCheckpoint(eager=True)
     return labels
+
+
+def link_prediction(
+    edges: DataFrame,
+    top: int = 20,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Common-neighbor link prediction over the undirected KG view: for
+    every NON-edge pair (a, b) sharing at least one neighbor, the number
+    of common neighbors `cn` and the neighbor-set Jaccard
+    cn / (deg_a + deg_b - cn). Returns the `top` candidates ordered by
+    (cn DESC, a, b) — an all-integer total order, so the cut is
+    deterministic and float ties can never flip the result set; the
+    Jaccard rides along ROUNDed to 6 dp as the reported score. This is
+    the KG-completion primitive ("entities that should probably be
+    linked"): reference theta emits the triples, the analyst asks what
+    is missing.
+
+    Scale shape: pure relational — wedge enumeration is the adjacency
+    self-join on the shared neighbor w with a < b (each unordered pair
+    counted once per common neighbor), then one groupBy(a, b) and an
+    anti-join against the existing edge set. The wedge join is the same
+    hub-skew surface as triangle counting; unlike triangles the CN
+    definition NEEDS both wedge arms at full degree, so hubs cost
+    O(deg^2) by definition — AQE skew-split shares the hot w keys, and
+    a production run over a 10^9-edge KG would cap or sample w's
+    adjacency above a degree ceiling (a recall/cost knob deliberately
+    not defaulted here: at test scale the exact semantics stay
+    oracle-checkable). Final top-k is a TakeOrderedAndProject (per-
+    partition heads, no global sort shuffle).
+    """
+    und = undirected_edges(edges, src, dst)
+    nbr = und.select(F.col("a").alias("node"), F.col("b").alias("nbr")).unionByName(
+        und.select(F.col("b").alias("node"), F.col("a").alias("nbr"))
+    )
+    deg = nbr.groupBy("node").agg(F.count(F.lit(1)).alias("deg"))
+    n1 = nbr.select(F.col("node").alias("a"), F.col("nbr").alias("w"))
+    n2 = nbr.select(F.col("node").alias("b"), F.col("nbr").alias("w"))
+    cn = (
+        n1.join(n2, "w")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("cn"))
+    )
+    cand = cn.join(und, ["a", "b"], "left_anti")
+    da = deg.select(F.col("node").alias("a"), F.col("deg").alias("deg_a"))
+    db = deg.select(F.col("node").alias("b"), F.col("deg").alias("deg_b"))
+    scored = (
+        cand.join(da, "a")
+        .join(db, "b")
+        .select(
+            "a",
+            "b",
+            "cn",
+            F.round(
+                F.col("cn").cast("double")
+                / (F.col("deg_a") + F.col("deg_b") - F.col("cn")),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+    return scored.orderBy(F.desc("cn"), "a", "b").limit(top)
+
+
+def bfs_distances(
+    edges: DataFrame,
+    seeds: DataFrame,
+    rounds: int = 3,
+    src: str = "src",
+    dst: str = "dst",
+    checkpoint_every: int | None = None,
+) -> DataFrame:
+    """Multi-source BFS over the DIRECTED edge set: (node, dist) for every
+    node reachable from `seeds` (a (node) DataFrame, dist 0) within
+    `rounds` hops, dist = exact shortest hop count (min over sources).
+    The "neighborhood of entity X" KG query, as a fixed-round frontier
+    contract — the bounded twin of GraphX's ShortestPaths.
+
+    Determinism: distances are small integers and each round takes a MIN —
+    associative/commutative, so the result is bit-identical under any
+    partitioning or join order; no floats anywhere.
+
+    Scale shape: the textbook frontier iteration — per round, ONE
+    equi-join of the current frontier (nodes whose dist was first set
+    last round — provably the only rows that can still improve anything)
+    against edges on src, then a min-groupBy union with the settled set.
+    Work per round is O(frontier-adjacent edges), not O(V); hub fan-out
+    lands on the groupBy's partial (map-side) aggregation and AQE
+    skew-split. Deep `rounds` → `checkpoint_every` bounds lineage the
+    same way pagerank/coreness do (bit-unobservable: the arithmetic is
+    partitioning-invariant)."""
+    dist = seeds.select(F.col("node").cast("long").alias("node")).distinct().withColumn(
+        "dist", F.lit(0).cast("int")
+    )
+    frontier = dist
+    e = edges.select(F.col(src).cast("long").alias("src"), F.col(dst).cast("long").alias("dst"))
+    for r in range(1, rounds + 1):
+        reached = (
+            frontier.join(e, frontier["node"] == e["src"])
+            .select(F.col("dst").alias("node"), F.lit(r).cast("int").alias("dist"))
+            .distinct()
+        )
+        nxt = (
+            dist.unionByName(reached)
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+        )
+        # next frontier = nodes settled exactly this round
+        frontier = nxt.filter(F.col("dist") == r)
+        dist = nxt
+        if checkpoint_every and r % checkpoint_every == 0 and r < rounds:
+            dist = dist.localCheckpoint(eager=True)
+            frontier = frontier.localCheckpoint(eager=True)
+    return dist

@@ -104,3 +104,63 @@ def fingerprint(col: Column, k: int = 8) -> Column:
 def content_hash(col: Column) -> Column:
     """Exact-dedup key: sha256 of the raw text (input_hint invariant)."""
     return F.sha2(col, 256)
+
+
+def bm25_topk(df, query_terms: list[str], k: int = 10, k1: float = 1.2, b: float = 0.75,
+              id_col: str = "doc_id", text_col: str = "text"):
+    """Okapi BM25 (Lucene idf variant: ln(1 + (N - df + .5)/(df + .5)))
+    relevance of every document against a fixed bag of `query_terms`,
+    returning the top `k` by rounded score — the retrieval primitive of
+    a training-data pipeline (query-biased corpus slicing, contamination
+    sweeps against benchmark queries).
+
+    Scale shape — the whole scorer is TWO jobs regardless of corpus size:
+    (1) per-row term frequencies and doc length as pure column
+    expressions over the token array (no explode, no per-term shuffle:
+    tf_i = size(filter(tokens, = term_i)), inside whole-stage codegen);
+    (2) ONE single-row global aggregate (N, avgdl, per-term document
+    frequencies) broadcast back via a 1-row cross join. Scoring is then
+    again per-row codegen arithmetic, and the top-k is a
+    TakeOrderedAndProject (per-partition heads, no global sort). Nothing
+    here is O(vocabulary) or O(terms x corpus) in shuffle volume.
+
+    Determinism: the final ordering key is the ROUNDED score (6 dp) with
+    id tiebreak, so last-ulp float drift between engines cannot flip the
+    reported set.
+    """
+    toks = tokens(F.lower(F.col(text_col)))
+
+    def _tf(term: str):
+        # NB: F.filter treats a 2-arg lambda as (element, index) — bind the
+        # term via a helper closure, not a lambda default
+        return F.size(F.filter(toks, lambda t: t == term)).cast("double")
+
+    row = df.select(
+        F.col(id_col),
+        F.size(toks).cast("double").alias("dl"),
+        *[_tf(term).alias(f"tf{i}") for i, term in enumerate(query_terms)],
+    )
+    g = row.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.avg("dl").alias("avgdl"),
+        *[
+            F.sum(F.when(F.col(f"tf{i}") > 0, 1).otherwise(0))
+            .cast("double")
+            .alias(f"df{i}")
+            for i in range(len(query_terms))
+        ],
+    )
+    scored = row.crossJoin(F.broadcast(g))
+    score = None
+    for i in range(len(query_terms)):
+        idf = F.log(
+            F.lit(1.0) + (F.col("n") - F.col(f"df{i}") + 0.5) / (F.col(f"df{i}") + 0.5)
+        )
+        part = idf * (
+            F.col(f"tf{i}")
+            * (k1 + 1.0)
+            / (F.col(f"tf{i}") + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl")))
+        )
+        score = part if score is None else score + part
+    out = scored.select(F.col(id_col), F.round(score, 6).alias("bm25"))
+    return out.orderBy(F.desc("bm25"), id_col).limit(k)

@@ -2444,3 +2444,139 @@ def gr_kcore(spark, sf_dir):
         .select(F.col("node").cast("long"), F.col("core").cast("long"))
         .orderBy("node")
     )
+
+
+@query(
+    "gr_link_pred",
+    f"""
+    WITH {_GRAPH_SQL_CTE},
+    und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b FROM ge),
+    nbr AS (SELECT a AS node, b AS nbr FROM und UNION ALL SELECT b, a FROM und),
+    deg AS (SELECT node, COUNT(*)::BIGINT AS deg FROM nbr GROUP BY node),
+    cn AS (
+      SELECT n1.node AS a, n2.node AS b, COUNT(*)::BIGINT AS cn
+      FROM nbr n1 JOIN nbr n2 ON n1.nbr = n2.nbr AND n1.node < n2.node
+      GROUP BY n1.node, n2.node
+    ),
+    cand AS (
+      SELECT cn.a, cn.b, cn.cn FROM cn
+      LEFT JOIN und ON cn.a = und.a AND cn.b = und.b WHERE und.a IS NULL
+    )
+    SELECT c.a, c.b, c.cn,
+           ROUND(c.cn::DOUBLE / (da.deg + db.deg - c.cn), 6) AS jaccard
+    FROM cand c JOIN deg da ON c.a = da.node JOIN deg db ON c.b = db.node
+    ORDER BY c.cn DESC, c.a, c.b LIMIT 20
+    """,
+)
+def gr_link_pred(spark, sf_dir):
+    """KG completion: top-20 NON-edge pairs by common-neighbor count with
+    neighbor-set Jaccard (functions/graph.py link_prediction) — "entities
+    that should probably be linked". Pure relational wedge enumeration +
+    anti-join; the ordering key is all-integer (cn DESC, a, b) so the cut
+    is deterministic and the rounded Jaccard can never flip the set."""
+    from theta_spark.functions.graph import link_prediction
+
+    return (
+        link_prediction(_graph_edges(spark, sf_dir), top=20)
+        .select(
+            F.col("a").cast("long"),
+            F.col("b").cast("long"),
+            F.col("cn").cast("long"),
+            "jaccard",
+        )
+        .orderBy(F.desc("cn"), "a", "b")
+    )
+
+
+def _bfs_round_sql(i: int) -> str:
+    """One frontier round in SQL: relax edges out of nodes settled at
+    exactly dist=i, then min-merge into the settled set."""
+    return f"""
+    r{i + 1} AS (
+      SELECT DISTINCT e.dst AS node, {i + 1} AS dist
+      FROM ge e JOIN d{i} f ON e.src = f.node AND f.dist = {i}
+    ),
+    d{i + 1} AS (
+      SELECT node, MIN(dist)::INT AS dist FROM (
+        SELECT node, dist FROM d{i} UNION ALL SELECT node, dist FROM r{i + 1}
+      ) GROUP BY node
+    )"""
+
+
+@query(
+    "gr_bfs_dist",
+    f"""
+    WITH {_GRAPH_SQL_CTE},
+    nodes AS (SELECT src AS node FROM ge UNION SELECT dst FROM ge),
+    d0 AS (SELECT node, 0 AS dist FROM nodes WHERE node % 100 = 0),
+    {",".join(_bfs_round_sql(i) for i in range(3))}
+    SELECT node, dist FROM d3 ORDER BY node
+    """,
+)
+def gr_bfs_dist(spark, sf_dir):
+    """Multi-source BFS ("the 3-hop neighborhood of these entities"):
+    exact shortest hop counts from the seed set (nodes divisible by 100)
+    within 3 rounds over the DIRECTED edge set (functions/graph.py
+    bfs_distances). Frontier iteration — each round joins only the nodes
+    settled last round against edges, then an integer min-groupBy; no
+    floats, bit-identical under any partitioning. The oracle unrolls the
+    3 frontier rounds as CTEs."""
+    from theta_spark.functions.graph import bfs_distances, graph_nodes
+
+    ge = _graph_edges(spark, sf_dir)
+    seeds = graph_nodes(ge).filter(F.col("node") % 100 == 0)
+    return (
+        bfs_distances(ge, seeds, rounds=3)
+        .select(F.col("node").cast("long"), F.col("dist").cast("int"))
+        .orderBy("node")
+    )
+
+
+@query(
+    "t_bm25_topk",
+    r"""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), x -> x != '') AS tk
+      FROM documents
+    ),
+    pt AS (
+      SELECT doc_id,
+             len(tk)::DOUBLE AS dl,
+             len(list_filter(tk, x -> x = 'table'))::DOUBLE AS tf0,
+             len(list_filter(tk, x -> x = 'hash'))::DOUBLE AS tf1,
+             len(list_filter(tk, x -> x = 'merge'))::DOUBLE AS tf2
+      FROM t
+    ),
+    g AS (
+      SELECT COUNT(*)::DOUBLE AS n, AVG(dl) AS avgdl,
+             SUM(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END)::DOUBLE AS df0,
+             SUM(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END)::DOUBLE AS df1,
+             SUM(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END)::DOUBLE AS df2
+      FROM pt
+    )
+    SELECT doc_id, ROUND(
+        ln(1.0 + (n - df0 + 0.5) / (df0 + 0.5))
+          * (tf0 * 2.2 / (tf0 + 1.2 * (0.25 + 0.75 * dl / avgdl)))
+      + ln(1.0 + (n - df1 + 0.5) / (df1 + 0.5))
+          * (tf1 * 2.2 / (tf1 + 1.2 * (0.25 + 0.75 * dl / avgdl)))
+      + ln(1.0 + (n - df2 + 0.5) / (df2 + 0.5))
+          * (tf2 * 2.2 / (tf2 + 1.2 * (0.25 + 0.75 * dl / avgdl))), 6) AS bm25
+    FROM pt CROSS JOIN g
+    ORDER BY bm25 DESC, doc_id LIMIT 10
+    """,
+)
+def t_bm25_topk(spark, sf_dir):
+    """Corpus retrieval: top-10 documents by Okapi BM25 (Lucene idf
+    variant, k1=1.2 b=0.75) against the fixed query bag
+    [table, hash, merge] (functions/text.py bm25_topk). Two jobs total at
+    any corpus size: per-row tf/dl column expressions (no explode), ONE
+    broadcast 1-row global aggregate, then codegen scoring and a
+    TakeOrderedAndProject top-k. Ordering key is the ROUNDED score so
+    ulp-level libm drift between engines cannot flip the reported set."""
+    from theta_spark.functions.text import bm25_topk
+
+    return (
+        bm25_topk(_load(spark, sf_dir, "documents"), ["table", "hash", "merge"], k=10)
+        .orderBy(F.desc("bm25"), "doc_id")
+    )
