@@ -350,3 +350,54 @@ def test_delta_max_chain_auto_flattens(spark, v1_v2, tmp_path_factory):
     entries = os.listdir(os.path.join(w3, "edge_provenance"))
     assert any(d.startswith("pred=") for d in entries), entries
     assert not os.path.exists(os.path.join(w3, "edge_provenance__flatten_tmp"))
+
+
+def test_incremental_pre_config_snapshot_warns_and_old_fingerprint_migrates(
+    spark, v1_v2, tmp_path_factory
+):
+    """ADVICE r4 tail: (a) a prior snapshot whose manifest predates config
+    recording cannot be drift-validated — the incremental run must WARN
+    loudly, not silently skip; (b) a prior snapshot that recorded the old
+    FULL-config fingerprint must still be accepted when the extraction-
+    relevant fields are identical (re-projected compare), and still be
+    REJECTED when they differ."""
+    import dataclasses
+    import json as _json
+    import warnings
+
+    from theta_spark.config import PipelineConfig
+    from theta_spark.pipeline import _manifest_path, stage_manifest
+
+    c1, c2 = v1_v2
+
+    # (a) strip the recorded config -> warn
+    w1 = str(tmp_path_factory.mktemp("precfg_v1"))
+    run_pipeline(spark, c1, w1)
+    for st in ("mentions", "triples"):
+        m = stage_manifest(w1, st)
+        m.pop("config", None)
+        with open(_manifest_path(w1, st), "w") as f:
+            _json.dump(m, f)
+    w2 = str(tmp_path_factory.mktemp("precfg_v2"))
+    with pytest.warns(UserWarning, match="predates config recording"):
+        run_pipeline_incremental(spark, c2, w2, prior_workdir=w1)
+
+    # (b) rewrite the fingerprint in the OLD full-config format
+    w3 = str(tmp_path_factory.mktemp("fullcfg_v1"))
+    run_pipeline(spark, c1, w3)
+    full_fp = _json.dumps(
+        dataclasses.asdict(PipelineConfig()), sort_keys=True, default=str
+    )
+    for st in ("mentions", "triples"):
+        m = stage_manifest(w3, st)
+        m["config"] = full_fp
+        with open(_manifest_path(w3, st), "w") as f:
+            _json.dump(m, f)
+    w4 = str(tmp_path_factory.mktemp("fullcfg_v2"))
+    run_pipeline_incremental(spark, c2, w4, prior_workdir=w3)  # accepted
+
+    w5 = str(tmp_path_factory.mktemp("fullcfg_v2_drift"))
+    with pytest.raises(ValueError, match="config does not match"):
+        run_pipeline_incremental(
+            spark, c2, w5, prior_workdir=w3, cfg=PipelineConfig(confidence=0.5)
+        )
