@@ -86,3 +86,38 @@ def test_simhash_matches_reference_bit_math(spark):
     df = spark.createDataFrame([(text,)], "text string")
     got = df.select(simhash64(F.col("text")).alias("sh")).collect()[0].sh
     assert got == expect
+
+
+def test_contamination_scores_hand_computed(spark):
+    """Per-doc shingle overlap against a broadcast benchmark set, hand
+    computed: doc shingles are DISTINCT word-3-grams, short docs yield
+    their single short gram, zero-overlap docs score 0.0."""
+    from theta_spark.functions.dedup import contamination_scores
+
+    bench = spark.createDataFrame(
+        [("b0", "the quick brown fox jumps")], "doc_id string, text string"
+    )
+    # bench shingles: {"the quick brown","quick brown fox","brown fox jumps"}
+    docs = spark.createDataFrame(
+        [
+            # 4 shingles, 2 of them in bench -> 0.5
+            ("d1", "a the quick brown fox"),
+            # single short gram, not in bench -> 0.0
+            ("d2", "quick brown"),
+            # exact bench text: 3/3 -> 1.0
+            ("d3", "the quick brown fox jumps"),
+            # repeated gram counted once (distinct): 3 shingles, 1 hit
+            ("d4", "quick brown fox quick brown fox"),
+        ],
+        "doc_id string, text string",
+    )
+    got = {
+        r["doc_id"]: (r["n_shingles"], r["n_hits"], r["contamination"])
+        for r in contamination_scores(docs, bench, k=3).collect()
+    }
+    assert got == {
+        "d1": (3, 2, round(2 / 3, 6)),
+        "d2": (1, 0, 0.0),
+        "d3": (3, 3, 1.0),
+        "d4": (3, 1, round(1 / 3, 6)),
+    }

@@ -163,3 +163,46 @@ def simhash_near_dups(df: DataFrame, id_col: str, text_col: str, max_hamming: in
     return pairs.withColumn(
         "hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
     ).filter(F.col("hamming") <= max_hamming).select("a", "b", "hamming")
+
+
+def contamination_scores(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+) -> DataFrame:
+    """Benchmark-contamination score per document: the fraction of a doc's
+    distinct word-k-gram shingles that appear anywhere in the `benchmark`
+    reference corpus — the decontamination sweep every LLM training
+    pipeline runs against its eval sets before training. Returns
+    (id, n_shingles, n_hits, contamination).
+
+    Scale shape: the benchmark shingle set is eval-set-sized (millions of
+    shingles, not corpus-sized) — distinct once and BROADCAST, so the
+    corpus side is one narrow Arrow shingle stage, a broadcast left join
+    (no shuffle of corpus shingles against the reference), and one
+    groupBy(id) with map-side partial counts. Nothing is O(corpus x
+    benchmark); a benchmark too large to broadcast degrades to the same
+    shuffle equi-join by dropping the hint."""
+    sh = word_shingles(docs, id_col, text_col, k)
+    bench = (
+        word_shingles(benchmark, id_col, text_col, k)
+        .select("shingle")
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    return (
+        sh.join(F.broadcast(bench), "shingle", "left")
+        .groupBy("name")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_shingles"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("long").alias("n_hits"),
+        )
+        .select(
+            F.col("name").alias(id_col),
+            "n_shingles",
+            "n_hits",
+            F.round(F.col("n_hits") / F.col("n_shingles"), 6).alias("contamination"),
+        )
+    )

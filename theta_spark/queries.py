@@ -2580,3 +2580,44 @@ def t_bm25_topk(spark, sf_dir):
         bm25_topk(_load(spark, sf_dir, "documents"), ["table", "hash", "merge"], k=10)
         .orderBy(F.desc("bm25"), "doc_id")
     )
+
+
+@query(
+    "t_contamination",
+    r"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), x -> x != '') AS tk
+      FROM documents
+    ), grams AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               generate_series(0, greatest(len(tk) - 3, 0)),
+               i -> array_to_string(list_slice(tk, i + 1, i + 3), ' '))) AS g
+      FROM toks
+    ),
+    bench AS (SELECT DISTINCT unnest(g) AS shingle FROM grams WHERE doc_id % 37 = 0),
+    corp AS (SELECT doc_id, unnest(g) AS shingle FROM grams WHERE doc_id % 37 <> 0)
+    SELECT c.doc_id,
+           COUNT(*)::BIGINT AS n_shingles,
+           SUM(CASE WHEN b.shingle IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_hits,
+           ROUND(SUM(CASE WHEN b.shingle IS NOT NULL THEN 1 ELSE 0 END)::DOUBLE
+                 / COUNT(*), 6) AS contamination
+    FROM corp c LEFT JOIN bench b ON c.shingle = b.shingle
+    GROUP BY c.doc_id ORDER BY c.doc_id
+    """,
+)
+def t_contamination(spark, sf_dir):
+    """Benchmark decontamination (functions/dedup.py contamination_scores):
+    per-doc fraction of distinct word-3-gram shingles appearing anywhere
+    in the benchmark slice (doc_id % 37 == 0) — the pre-training sweep
+    against eval sets. Benchmark shingles are distinct-ed once and
+    BROADCAST; the corpus side is one narrow Arrow shingle stage + a
+    broadcast left join + one groupBy(doc_id). The oracle rebuilds the
+    same shingling (pinned by dd_ngram_jaccard) and overlap counts."""
+    from theta_spark.functions.dedup import contamination_scores
+
+    d = _load(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") % 37 == 0)
+    corpus = d.filter(F.col("doc_id") % 37 != 0)
+    return contamination_scores(corpus, bench, k=3).orderBy("doc_id")
