@@ -186,9 +186,16 @@ def train_mlp_scorer(
     lr: float = 0.01,
     batch: int = 1024,
     hidden: int = HIDDEN,
+    history: list | None = None,
 ) -> MLPScorer:
     """Deterministic training run: featurize corpus segments, supervise with
-    rule_labels, Adam on CE of both heads. Seeded numpy only."""
+    rule_labels, Adam on CE of both heads. Seeded numpy only.
+
+    When ``history`` is passed, per-batch mean CE rows
+    ``(epoch, batch_idx, loss, batch_size)`` are appended to it — the
+    exact per-batch "outputs" shape A8's epoch mean-of-means consumes
+    (theta/nlp/tasks/task.py:1300-1305 averages these batch means
+    unweighted; see operators/training.py)."""
     rng = np.random.default_rng(seed)
     segs = _training_segments(n_docs, seed=100 + seed)
 
@@ -218,9 +225,9 @@ def train_mlp_scorer(
     beta1, beta2, eps = 0.9, 0.999, 1e-8
     step = 0
 
-    for _ in range(epochs):
+    for epoch in range(epochs):
         order = rng.permutation(N)
-        for lo in range(0, N, batch):
+        for bi, lo in enumerate(range(0, N, batch)):
             sel = order[lo:lo + batch]
             ids, ts, te = X[sel], ys[sel], ye[sel]
             B = len(sel)
@@ -229,6 +236,13 @@ def train_mlp_scorer(
             h = np.maximum(pre, 0.0)
             ps = _softmax(h @ Ws + bs)
             pe = _softmax(h @ We + be)
+
+            if history is not None:
+                ce = float(
+                    -np.log(np.maximum(ps[np.arange(B), ts], 1e-12)).mean()
+                    - np.log(np.maximum(pe[np.arange(B), te], 1e-12)).mean()
+                )
+                history.append((epoch, bi, ce, B))
 
             gs = ps.copy()
             gs[np.arange(B), ts] -= 1.0

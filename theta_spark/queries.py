@@ -2621,3 +2621,137 @@ def t_contamination(spark, sf_dir):
     bench = d.filter(F.col("doc_id") % 37 == 0)
     corpus = d.filter(F.col("doc_id") % 37 != 0)
     return contamination_scores(corpus, bench, k=3).orderBy("doc_id")
+
+
+@query(
+    "a8_epoch_loss",
+    """
+    WITH d AS (
+      SELECT doc_id % 3 AS run_id,
+             (doc_id // 3) % 6 AS epoch,
+             (doc_id // 18) % 7 AS batch,
+             (doc_id * 7 + n_chars * 3) % 1000 AS loss_m
+      FROM documents
+    ), batches AS (
+      SELECT run_id, epoch, batch,
+             AVG(loss_m) AS val_loss,
+             COUNT(*) AS bsz
+      FROM d GROUP BY run_id, epoch, batch
+    )
+    SELECT run_id, epoch,
+           COUNT(*)::BIGINT AS n_batches,
+           ROUND(AVG(val_loss), 6) AS val_loss,
+           ROUND(SUM(val_loss * bsz) / SUM(bsz), 6) AS val_loss_weighted
+    FROM batches GROUP BY run_id, epoch ORDER BY run_id, epoch
+    """,
+)
+def a8_epoch_loss(spark, sf_dir):
+    """A8 (theta/nlp/tasks/task.py:1300-1305, task_glue.py:692-695): epoch
+    validation loss = UNWEIGHTED mean of per-batch means — the reference's
+    sum(out['val_loss'] for out in outputs)/len(outputs) quirk where a short
+    tail batch counts exactly as much as a full one. The metrics table is
+    synthesized deterministically from documents (run/epoch/batch by doc_id,
+    integer milliloss from (doc_id, n_chars)); the weighted mean rides
+    beside it to expose the quirk. One groupBy per level, map-side partials,
+    no window."""
+    from theta_spark.operators.training import epoch_val_metrics
+
+    d = _load(spark, sf_dir, "documents").select(
+        (F.col("doc_id") % 3).alias("run_id"),
+        ((F.col("doc_id") / 3).cast("long") % 6).alias("epoch"),
+        ((F.col("doc_id") / 18).cast("long") % 7).alias("batch"),
+        ((F.col("doc_id") * 7 + F.col("n_chars") * 3) % 1000).alias("loss_m"),
+    )
+    batches = d.groupBy("run_id", "epoch", "batch").agg(
+        F.avg("loss_m").alias("val_loss"), F.count(F.lit(1)).alias("bsz")
+    )
+    return epoch_val_metrics(batches, ["val_loss"], weight_col="bsz").orderBy(
+        "run_id", "epoch"
+    )
+
+
+@query(
+    "a9_best_model",
+    """
+    WITH d AS (
+      SELECT doc_id % 3 AS run_id,
+             (doc_id // 3) % 6 AS epoch,
+             (doc_id * 7 + n_chars * 3) % 1000 AS loss_m
+      FROM documents
+    ), ep AS (
+      SELECT run_id, epoch, CAST(SUM(loss_m) % 97 AS DOUBLE) AS score
+      FROM d GROUP BY run_id, epoch
+    ), seq AS (
+      SELECT run_id, epoch, score,
+             ROW_NUMBER() OVER (PARTITION BY run_id ORDER BY epoch) AS rn,
+             MIN(score) OVER (PARTITION BY run_id ORDER BY epoch
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS prev_min
+      FROM ep
+    ), flags AS (
+      SELECT *,
+             CASE WHEN prev_min IS NULL OR score < prev_min THEN 1 ELSE 0 END
+               AS is_best,
+             CASE WHEN prev_min IS NULL OR score < prev_min THEN score
+                  ELSE prev_min END AS best_so_far
+      FROM seq
+    ), waits AS (
+      SELECT *,
+             rn - COALESCE(MAX(CASE WHEN is_best = 1 THEN rn END)
+                           OVER (PARTITION BY run_id ORDER BY epoch
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                           0) AS wait_count
+      FROM flags
+    ), stops AS (
+      SELECT *,
+             CASE WHEN wait_count >= 2 THEN 1 ELSE 0 END AS stopped,
+             COALESCE(MIN(CASE WHEN wait_count >= 2 THEN rn END)
+                      OVER (PARTITION BY run_id), 2147483647) AS stop_rn
+      FROM waits
+    ), kept AS (
+      SELECT * FROM stops WHERE rn <= stop_rn
+    ), sel AS (
+      SELECT *,
+             MAX(CASE WHEN is_best = 1 THEN rn END)
+               OVER (PARTITION BY run_id) AS sel_rn
+      FROM kept
+    )
+    SELECT run_id, epoch, score, is_best, ROUND(best_so_far, 6) AS best_so_far,
+           wait_count::BIGINT AS wait_count, stopped,
+           CASE WHEN rn = COALESCE(sel_rn, -1) THEN 1 ELSE 0 END AS selected
+    FROM sel ORDER BY run_id, epoch
+    """,
+)
+def a9_best_model(spark, sf_dir):
+    """A9 (theta/nlp/tasks/task.py:483-518): best-model selection + early
+    stopping as per-run windows — strict-improvement is_best against the
+    running best (init quirk task.py:331: 0.0 when greater_is_better, +inf
+    otherwise), wait_count resets on improvement, training halts at
+    wait_count >= patience, and `selected` marks the surviving checkpoint
+    (last is_best epoch in the trained prefix). Three concurrent runs from
+    documents (per-epoch score = integer loss sum mod 97) stop at different
+    epochs. Every window partitions by run_id — runs are the scale-out
+    dimension (a sweep trains thousands), epochs per run are O(10)."""
+    from theta_spark.operators.training import best_model_selection
+
+    d = _load(spark, sf_dir, "documents").select(
+        (F.col("doc_id") % 3).alias("run_id"),
+        ((F.col("doc_id") / 3).cast("long") % 6).alias("epoch"),
+        ((F.col("doc_id") * 7 + F.col("n_chars") * 3) % 1000).alias("loss_m"),
+    )
+    ep = d.groupBy("run_id", "epoch").agg(
+        (F.sum("loss_m") % 97).cast("double").alias("score")
+    )
+    out = best_model_selection(
+        ep, score_col="score", greater_is_better=False, patience=2
+    )
+    return out.select(
+        "run_id",
+        "epoch",
+        "score",
+        "is_best",
+        F.round("best_so_far", 6).alias("best_so_far"),
+        F.col("wait_count").cast("long").alias("wait_count"),
+        "stopped",
+        "selected",
+    ).orderBy("run_id", "epoch")
