@@ -113,3 +113,38 @@ def test_bm25_topk_cut_and_absent_term(spark):
     assert all(r["bm25"] == r["bm25"] for r in out)  # no NaN
     # shorter docs score higher on the same tf (length normalization)
     assert [r["doc_id"] for r in out] == ["d0", "d1", "d2"]
+
+
+def test_repetition_stats_hand_computed(spark):
+    """Gopher repetition stats: hand-checked gram math, deterministic
+    tie-break (count desc, gram asc), short-doc zeroes, integer-exact
+    pass verdicts at the 0.20/0.15 thresholds."""
+    from theta_spark.functions.text import repetition_stats
+
+    docs = spark.createDataFrame(
+        [
+            # "a b a b a b": 2-grams = [a b, b a, a b, b a, a b] -> top "a b" x3
+            # chars=11, top2 = 3*3/11; 5-grams: "a b a b a" x1, "b a b a b" x1 -> dup5 0
+            (1, "a b a b a b"),
+            # all distinct words, no repeated 5-gram
+            (2, "one two three four five six"),
+            # 10 tokens of "x x ...": top 2-gram "x x" x9; one distinct 5-gram "x x x x x" x6
+            (3, "x x x x x x x x x x"),
+            # too short for any 2-gram
+            (4, "solo"),
+            (5, ""),
+        ],
+        "doc_id int, text string",
+    )
+    got = {
+        r.doc_id: (
+            r.n_words, r.dup_word_frac, r.top2_frac, r.dup5_frac, r.rep_pass
+        )
+        for r in repetition_stats(docs).collect()
+    }
+    assert got[1] == (6, round(1 - 2 / 6, 6), round(9 / 11, 6), 0.0, 0)
+    assert got[2] == (6, 0.0, round(8 / 27, 6), 0.0, 0)  # top tie -> "five six" (cnt 1)
+    # doc 3: chars=19, top2 = 9*3/19 > .2 ; dup5 = 6*9/19 > .15 -> fail both
+    assert got[3] == (10, round(1 - 1 / 10, 6), round(27 / 19, 6), round(54 / 19, 6), 0)
+    assert got[4] == (1, 0.0, 0.0, 0.0, 1)
+    assert got[5] == (0, 0.0, 0.0, 0.0, 1)

@@ -164,3 +164,93 @@ def bm25_topk(df, query_terms: list[str], k: int = 10, k1: float = 1.2, b: float
         score = part if score is None else score + part
     out = scored.select(F.col(id_col), F.round(score, 6).alias("bm25"))
     return out.orderBy(F.desc("bm25"), id_col).limit(k)
+
+
+def repetition_stats(
+    df,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    top_n: int = 2,
+    dup_n: int = 5,
+    top_max: tuple = (1, 5),     # top-n-gram char fraction <= 1/5 (Gopher 0.20)
+    dup_max: tuple = (3, 20),    # dup-n-gram char fraction <= 3/20 (Gopher 0.15)
+):
+    """Gopher-style repetition quality stats per document (Rae et al. 2021
+    §A1.1, word-n-gram form): `top{n}_frac` = characters covered by the
+    single most frequent word-n-gram (count x gram length / total chars,
+    ties broken by lexicographic gram so the stat is deterministic),
+    `dup{n}_frac` = characters in word-n-grams occurring more than once,
+    `dup_word_frac` = 1 - distinct/total words, and `rep_pass` = the
+    filter verdict at the Gopher thresholds (top-2-gram 0.20, duplicate
+    5-gram 0.15).
+
+    Scale shape: per-doc gram counting is row-local, so the WHOLE operator
+    is one narrow Arrow stage emitting integer counts — no explode, no
+    shuffle, embarrassingly parallel at any corpus size. Division and
+    rounding happen JVM-side (F.round, same half-up as the DuckDB oracle);
+    the pass verdict is pure INTEGER arithmetic (count*denominator vs
+    chars*numerator), immune to float-boundary drift. Tokenization is the
+    shingle convention pinned by dd_ngram_jaccard: lowercase, trim, split
+    on whitespace, drop empties."""
+    import re
+    from collections import Counter
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    id_field = df.schema[id_col]
+
+    def gen(batches):
+        ws = re.compile(r"\s+")
+        for pdf in batches:
+            out = {k: [] for k in ("id", "total_chars", "n_words", "n_distinct",
+                                   "top_chars", "dup_chars")}
+            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+                raw = text or ""
+                toks = [t for t in ws.split(raw.strip().lower()) if t]
+                grams_top = Counter(
+                    " ".join(toks[i : i + top_n])
+                    for i in range(len(toks) - top_n + 1)
+                )
+                if grams_top:
+                    gram, cnt = min(grams_top.items(), key=lambda kv: (-kv[1], kv[0]))
+                    top_chars = cnt * len(gram)
+                else:
+                    top_chars = 0
+                grams_dup = Counter(
+                    " ".join(toks[i : i + dup_n])
+                    for i in range(len(toks) - dup_n + 1)
+                )
+                dup_chars = sum(c * len(g) for g, c in grams_dup.items() if c >= 2)
+                out["id"].append(doc_id)
+                out["total_chars"].append(len(raw))
+                out["n_words"].append(len(toks))
+                out["n_distinct"].append(len(set(toks)))
+                out["top_chars"].append(top_chars)
+                out["dup_chars"].append(dup_chars)
+            yield pd.DataFrame(out)
+
+    schema = T.StructType(
+        [T.StructField("id", id_field.dataType)]
+        + [T.StructField(c, T.LongType()) for c in
+           ("total_chars", "n_words", "n_distinct", "top_chars", "dup_chars")]
+    )
+    counts = df.select(id_col, text_col).mapInPandas(gen, schema=schema)
+    tc, nw = F.col("total_chars"), F.col("n_words")
+    return counts.select(
+        F.col("id").alias(id_col),
+        nw.alias("n_words"),
+        F.round(
+            F.when(nw > 0, 1.0 - F.col("n_distinct") / nw).otherwise(F.lit(0.0)), 6
+        ).alias("dup_word_frac"),
+        F.round(
+            F.when(tc > 0, F.col("top_chars") / tc).otherwise(F.lit(0.0)), 6
+        ).alias(f"top{top_n}_frac"),
+        F.round(
+            F.when(tc > 0, F.col("dup_chars") / tc).otherwise(F.lit(0.0)), 6
+        ).alias(f"dup{dup_n}_frac"),
+        (
+            (F.col("top_chars") * top_max[1] <= tc * top_max[0])
+            & (F.col("dup_chars") * dup_max[1] <= tc * dup_max[0])
+        ).cast("int").alias("rep_pass"),
+    )

@@ -2755,3 +2755,72 @@ def a9_best_model(spark, sf_dir):
         "stopped",
         "selected",
     ).orderBy("run_id", "epoch")
+
+
+@query(
+    "t_repetition",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, length(text) AS total_chars,
+             list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                         x -> x != '') AS tk
+      FROM documents
+    ), base AS (
+      SELECT doc_id, total_chars, len(tk) AS n_words,
+             len(list_distinct(tk)) AS n_distinct, tk
+      FROM toks
+    ), g2 AS (
+      SELECT doc_id, unnest(list_transform(
+               generate_series(0, len(tk) - 2),
+               i -> array_to_string(list_slice(tk, i + 1, i + 2), ' '))) AS gram
+      FROM base
+    ), g2c AS (
+      SELECT doc_id, gram, COUNT(*) AS cnt FROM g2 GROUP BY doc_id, gram
+    ), top2 AS (
+      SELECT doc_id, cnt * length(gram) AS top_chars
+      FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                                         ORDER BY cnt DESC, gram ASC) AS rn
+            FROM g2c)
+      WHERE rn = 1
+    ), g5 AS (
+      SELECT doc_id, unnest(list_transform(
+               generate_series(0, len(tk) - 5),
+               i -> array_to_string(list_slice(tk, i + 1, i + 5), ' '))) AS gram
+      FROM base
+    ), g5c AS (
+      SELECT doc_id, gram, COUNT(*) AS cnt FROM g5 GROUP BY doc_id, gram
+    ), dup5 AS (
+      SELECT doc_id,
+             SUM(CASE WHEN cnt >= 2 THEN cnt * length(gram) ELSE 0 END) AS dup_chars
+      FROM g5c GROUP BY doc_id
+    )
+    SELECT b.doc_id,
+           b.n_words::BIGINT AS n_words,
+           ROUND(CASE WHEN b.n_words > 0
+                      THEN 1.0 - b.n_distinct::DOUBLE / b.n_words
+                      ELSE 0.0 END, 6) AS dup_word_frac,
+           ROUND(CASE WHEN b.total_chars > 0
+                      THEN COALESCE(t.top_chars, 0)::DOUBLE / b.total_chars
+                      ELSE 0.0 END, 6) AS top2_frac,
+           ROUND(CASE WHEN b.total_chars > 0
+                      THEN COALESCE(d.dup_chars, 0)::DOUBLE / b.total_chars
+                      ELSE 0.0 END, 6) AS dup5_frac,
+           CASE WHEN COALESCE(t.top_chars, 0) * 5 <= b.total_chars
+                 AND COALESCE(d.dup_chars, 0) * 20 <= b.total_chars * 3
+                THEN 1 ELSE 0 END AS rep_pass
+    FROM base b
+    LEFT JOIN top2 t USING (doc_id)
+    LEFT JOIN dup5 d USING (doc_id)
+    ORDER BY b.doc_id
+    """,
+)
+def t_repetition(spark, sf_dir):
+    """Gopher repetition filters (functions/text.py repetition_stats): per-doc
+    top-2-gram char fraction (deterministic tie-break), duplicate-5-gram char
+    fraction, duplicate-word fraction, and the pass verdict at the Gopher
+    thresholds (0.20 / 0.15) as exact integer comparisons. One narrow Arrow
+    stage of integer counts — no explode, no shuffle — with division and
+    rounding JVM-side. The oracle rebuilds gram counting relationally."""
+    from theta_spark.functions.text import repetition_stats
+
+    return repetition_stats(_load(spark, sf_dir, "documents")).orderBy("doc_id")
