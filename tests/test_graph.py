@@ -435,3 +435,65 @@ def test_bfs_distances_python_replica_multisource(spark, edges_df):
         for r in bfs_distances(edges_df, sdf, rounds=3, checkpoint_every=1).collect()
     }
     assert got_ck == got
+
+
+def _py_hits(edges, iters):
+    """Integer replica of the unnormalized HITS recurrence."""
+    nodes = sorted({u for e in edges for u in e})
+    h = {v: 1 for v in nodes}
+    a = {}
+    for _ in range(iters):
+        a = {v: 0 for v in nodes}
+        for s, d in edges:
+            a[d] += h[s]
+        h = {v: 0 for v in nodes}
+        for s, d in edges:
+            h[s] += a[d]
+    return a, h
+
+
+def test_hits_matches_python_replica(spark, edges_df):
+    from theta_spark.functions.graph import hits
+
+    exp_a, exp_h = _py_hits(EDGES, iters=3)
+    ma, mh = max(exp_a.values()), max(exp_h.values())
+    got = {r.node: r for r in hits(edges_df, iters=3).collect()}
+    assert set(got) == set(exp_a)
+    for v in exp_a:
+        assert got[v].auth_s == exp_a[v]
+        assert got[v].hub_s == exp_h[v]
+        assert got[v].auth == round(exp_a[v] / ma, 6)
+        assert got[v].hub == round(exp_h[v] / mh, 6)
+
+
+def test_hits_checkpoint_bit_identical(spark, edges_df):
+    from theta_spark.functions.graph import hits
+
+    plain = {(r.node, r.auth_s, r.hub_s) for r in hits(edges_df, iters=4).collect()}
+    ckpt = {
+        (r.node, r.auth_s, r.hub_s)
+        for r in hits(edges_df, iters=4, checkpoint_every=2).collect()
+    }
+    assert plain == ckpt
+
+
+def test_hits_known_star(spark):
+    """Star graph a->c, b->c: c is the only authority, a/b the hubs."""
+    from theta_spark.functions.graph import hits
+
+    e = spark.createDataFrame([(1, 3), (2, 3)], "src: long, dst: long")
+    got = {r.node: (r.auth_s, r.hub_s, r.auth, r.hub) for r in hits(e, iters=2).collect()}
+    # iter1: a(3)=2, h(1)=h(2)=2; iter2: a(3)=4, h(1)=h(2)=4
+    assert got[3] == (4, 0, 1.0, 0.0)
+    assert got[1] == (0, 4, 0.0, 1.0)
+    assert got[2] == (0, 4, 0.0, 1.0)
+
+
+def test_hits_overflow_guard_and_empty(spark):
+    from theta_spark.functions.graph import hits
+
+    e = spark.createDataFrame([(1, 3), (2, 3), (3, 1)], "src: long, dst: long")
+    with pytest.raises(ValueError, match="overflow"):
+        hits(e, iters=200)
+    empty = spark.createDataFrame([], "src: long, dst: long")
+    assert hits(empty, iters=3).count() == 0

@@ -572,3 +572,98 @@ def bfs_distances(
             dist = dist.localCheckpoint(eager=True)
             frontier = frontier.localCheckpoint(eager=True)
     return dist
+
+
+def hits(
+    edges: DataFrame,
+    iters: int = 3,
+    src: str = "src",
+    dst: str = "dst",
+    checkpoint_every: int | None = None,
+) -> DataFrame:
+    """Kleinberg HITS hubs/authorities over the directed KG, i64-exact →
+    (node, auth_s, hub_s, auth, hub).
+
+    The classic power iteration (auth from in-edges of old hubs, hubs
+    from out-edges of NEW authorities) is run UNNORMALIZED with integer
+    start h0 = 1, so every intermediate value is an exact i64 — integer
+    sums are associative, making the result bit-identical under any
+    partitioning/AQE re-plan, and the recurrence SQL-unrollable (the
+    per-iteration L2 normalization of the textbook formulation only
+    rescales; the relative scores it exists to stabilize are recovered
+    by ONE final max-normalization: auth = auth_s / max(auth_s)).
+
+    Shape: each iteration is two shuffle joins + two integer groupBy
+    sums on node id — O(iters) shuffles total, one lazy plan (pass
+    `checkpoint_every` to bound lineage like pagerank). Overflow is
+    guarded up front from the degree profile (one scalar job): values
+    grow at most like (max_in·max_out)^iters, and the guard refuses
+    iteration counts that could leave i64 rather than wrapping silently.
+    """
+    e = edges.select(src, dst).distinct().localCheckpoint(eager=False)
+    nodes = graph_nodes(e, src, dst).localCheckpoint(eager=False)
+    deg = degree_stats(e, src, dst)
+    prof = deg.agg(
+        F.coalesce(F.max("in_deg"), F.lit(0)).alias("mi"),
+        F.coalesce(F.max("out_deg"), F.lit(0)).alias("mo"),
+    ).collect()[0]  # one bounded scalar job, like pagerank's n_nodes
+    if prof.mi == 0 and prof.mo == 0:
+        return nodes.select(
+            "node",
+            F.lit(None).cast("long").alias("auth_s"),
+            F.lit(None).cast("long").alias("hub_s"),
+            F.lit(None).cast("double").alias("auth"),
+            F.lit(None).cast("double").alias("hub"),
+        )
+    bound = 1.0
+    for _ in range(iters):
+        bound *= float(max(prof.mi, 1)) * float(max(prof.mo, 1))
+    if bound >= float(2**62):
+        raise ValueError(
+            f"hits: {iters} iterations may overflow i64 on this degree "
+            f"profile (max_in={prof.mi}, max_out={prof.mo}); reduce iters"
+        )
+
+    h = nodes.select("node", F.lit(1).cast("long").alias("v"))
+    a = None
+    for i in range(1, iters + 1):
+        a = (
+            e.join(h, e[src] == h["node"])
+            .select(F.col(dst).alias("node"), F.col("v"))
+            .groupBy("node")
+            .agg(F.sum("v").cast("long").alias("v"))
+        )
+        h = (
+            e.join(a, e[dst] == a["node"])
+            .select(F.col(src).alias("node"), F.col("v"))
+            .groupBy("node")
+            .agg(F.sum("v").cast("long").alias("v"))
+        )
+        if checkpoint_every and i % checkpoint_every == 0 and i < iters:
+            a = a.localCheckpoint(eager=True)
+            h = h.localCheckpoint(eager=True)
+
+    out = (
+        nodes.join(a.withColumnRenamed("v", "auth_s"), "node", "left")
+        .join(h.withColumnRenamed("v", "hub_s"), "node", "left")
+        .select(
+            "node",
+            F.coalesce("auth_s", F.lit(0)).cast("long").alias("auth_s"),
+            F.coalesce("hub_s", F.lit(0)).cast("long").alias("hub_s"),
+        )
+    )
+    # final normalization: max over exact integers, one division per row
+    mx = out.agg(
+        F.max("auth_s").alias("ma"), F.max("hub_s").alias("mh")
+    )
+    return out.crossJoin(F.broadcast(mx)).select(
+        "node",
+        "auth_s",
+        "hub_s",
+        F.round(
+            F.when(F.col("ma") > 0, F.col("auth_s") / F.col("ma")).otherwise(0.0), 6
+        ).alias("auth"),
+        F.round(
+            F.when(F.col("mh") > 0, F.col("hub_s") / F.col("mh")).otherwise(0.0), 6
+        ).alias("hub"),
+    )

@@ -2824,3 +2824,57 @@ def t_repetition(spark, sf_dir):
     from theta_spark.functions.text import repetition_stats
 
     return repetition_stats(_load(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
+def _hits_oracle_sql(iters: int = 3) -> str:
+    """Unrolled SQL twin of functions/graph.py:hits — the same integer
+    recurrence (a_i = sum of h_{i-1} over in-edges, h_i = sum of a_i over
+    out-edges, h_0 = 1), max-normalized once at the end."""
+    parts = [
+        f"""WITH {_GRAPH_SQL_CTE},
+nodes AS (SELECT src AS node FROM ge UNION SELECT dst FROM ge),
+h0 AS (SELECT node, CAST(1 AS BIGINT) AS v FROM nodes)"""
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f"""a{i} AS (
+  SELECT e.dst AS node, SUM(h.v)::BIGINT AS v
+  FROM ge e JOIN h{i - 1} h ON e.src = h.node GROUP BY e.dst
+),
+h{i} AS (
+  SELECT e.src AS node, SUM(a.v)::BIGINT AS v
+  FROM ge e JOIN a{i} a ON e.dst = a.node GROUP BY e.src
+)"""
+        )
+    parts.append(
+        f"""base AS (
+  SELECT n.node, COALESCE(a.v, 0)::BIGINT AS auth_s, COALESCE(h.v, 0)::BIGINT AS hub_s
+  FROM nodes n
+  LEFT JOIN a{iters} a ON n.node = a.node
+  LEFT JOIN h{iters} h ON n.node = h.node
+),
+mx AS (SELECT MAX(auth_s) AS ma, MAX(hub_s) AS mh FROM base)"""
+    )
+    return (
+        ",\n".join(parts)
+        + """
+SELECT b.node, b.auth_s, b.hub_s,
+       ROUND(CASE WHEN m.ma > 0 THEN b.auth_s::DOUBLE / m.ma ELSE 0.0 END, 6) AS auth,
+       ROUND(CASE WHEN m.mh > 0 THEN b.hub_s::DOUBLE / m.mh ELSE 0.0 END, 6) AS hub
+FROM base b CROSS JOIN mx m ORDER BY b.node"""
+    )
+
+
+@query("gr_hits", _hits_oracle_sql(iters=3))
+def gr_hits(spark, sf_dir):
+    """HITS hubs/authorities over the KG (functions/graph.py hits): the
+    power iteration run UNNORMALIZED in exact i64 (h0=1; authority = sum
+    of hub scores over in-edges, hub = sum of NEW authority scores over
+    out-edges), max-normalized once at the end — integer sums are
+    associative so the scores are bit-identical under any partitioning,
+    and the oracle unrolls the same 3 rounds as CTEs. Two shuffle joins +
+    two integer aggs per round, O(iters) shuffles, overflow guarded up
+    front from the degree profile."""
+    from theta_spark.functions.graph import hits
+
+    return hits(_graph_edges(spark, sf_dir), iters=3).orderBy("node")
