@@ -374,3 +374,44 @@ def test_adc_shuffle_join_mode_bit_identical(spark):
     assert rows(
         ivfpq_adc_topk(enc_c, qs_c, cbs, k=5, m=2, dim=8, broadcast_table=False)
     ) == rows(ivfpq_adc_topk(enc_c, qs_c, cbs, k=5, m=2, dim=8))
+
+
+def test_semantic_dedup_hand_constructed(spark):
+    """SemDeDup: within-cell near-dup groups collapse to a min-id keeper;
+    a near-dup pair SPLIT ACROSS CELLS is deliberately NOT merged (the
+    paper's cell-bounded search); singletons keep themselves."""
+    import math
+
+    from theta_spark.functions.similarity import semantic_dedup
+
+    def v(theta):
+        # 64-dim unit vectors living on a 2-plane: cos(angle difference)
+        out = [0.0] * 64
+        out[0], out[1] = math.cos(theta), math.sin(theta)
+        return out
+
+    # init centroids = unit vecs of the two smallest ids (k=2):
+    # id 0 at angle 0, id 1 at angle pi/2. Cluster A ~ angle 0 (ids 0,2,3),
+    # cluster B ~ pi/2 (ids 1,4). id 5 sits at pi/4 + eps -> assigned to B
+    # but cosine-close to id 3 (pi/4 - eps) in A: cross-cell dup NOT merged.
+    rows = [
+        (0, v(0.0)),
+        (1, v(math.pi / 2)),
+        (2, v(0.02)),            # dup of 0 (cos ~ 0.9998)
+        (3, v(math.pi / 4 - 0.01)),
+        (4, v(math.pi / 2 - 0.02)),  # dup of 1
+        (5, v(math.pi / 4 + 0.01)),  # dup of 3, other side of the boundary
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {r.vec_id: (r.cell, r.keeper, r.kept) for r in
+           semantic_dedup(df, k=2, iters=0, threshold=0.95).collect()}
+    cells = {i: got[i][0] for i in got}
+    # same-cell groups resolved
+    assert cells[0] == cells[2] and got[2][1] == 0 and got[2][2] == 0
+    assert got[0] == (cells[0], 0, 1)
+    assert cells[1] == cells[4] and got[4][1] == 1 and got[4][2] == 0
+    # 3 and 5 are cosine-near (cos(0.02) ~ .9998 >= .95) but in different
+    # cells -> both kept, each its own keeper
+    assert cells[3] != cells[5]
+    assert got[3] == (cells[3], 3, 1)
+    assert got[5] == (cells[5], 5, 1)

@@ -597,3 +597,56 @@ def ivfpq_adc_topk(
         F.col("adc_sim").desc(), F.col("neighbor_id")
     )
     return scored.withColumn("rk", F.row_number().over(w_rank)).filter(F.col("rk") <= k)
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    k: int = 4,
+    iters: int = 1,
+    threshold: float = 0.35,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540) semantic
+    deduplication: k-means cluster the embedding space, find
+    cosine-near-duplicate pairs WITHIN each cluster only, and keep one
+    representative per similarity-connected group. Returns
+    (id, cell, keeper, kept) for every input row — `keeper` is the
+    group representative (min id, deterministic), `kept` = 1 iff this
+    row survives dedup.
+
+    Scale shape: the quadratic pair search is confined to k-means cells
+    (the paper's point — O(sum of cell sizes squared), never all-pairs;
+    at 100 TB, k grows with the corpus so cells stay bounded), the
+    quantizer is the same Lloyd operator the IVF index uses (broadcast
+    Arrow assignment at large k, zero shuffle), and group resolution is
+    the size-adaptive connected-components used by the text dedup path.
+    Everything downstream of the pair stream is id-only — embeddings
+    never shuffle.
+    """
+    from theta_spark.canonicalize import connected_components
+
+    assign, _cents = kmeans_cells_lloyd(
+        corpus, k=k, iters=iters, id_col=id_col, vec_col=vec_col
+    )
+    with_cells = corpus.join(assign, on=id_col)
+    pairs = cosine_near_dup_pairs(
+        with_cells,
+        threshold=threshold,
+        id_col=id_col,
+        vec_col=vec_col,
+        cell_col="cell",
+    )
+    comp = connected_components(
+        pairs.select("a", "b"), nodes=corpus.select(id_col), name_col=id_col
+    )
+    return (
+        comp.select(F.col("name").alias(id_col), F.col("component").alias("keeper"))
+        .join(assign, on=id_col)
+        .select(
+            id_col,
+            "cell",
+            "keeper",
+            (F.col(id_col) == F.col("keeper")).cast("int").alias("kept"),
+        )
+    )

@@ -1609,15 +1609,12 @@ def kg_triples_prf_mlp(spark, sf_dir):
     )
 
 
-def _ivf_kmeans_sql(k: int) -> str:
-    """Oracle for the Lloyd-trained IVF top-k, parameterized on codebook
-    size: one k-means round (init = unit vectors of the k smallest ids)
-    unrolled structurally in SQL, then the single-probe IVF join. The SAME
-    SQL shape serves both the literal-codebook path (tiny k) and the
-    broadcast-Arrow path (large k) — the oracle sees only the contract."""
-    return (
-        _UNIT_CTE
-        + rf"""
+def _kmeans_af_cte(k: int) -> str:
+    """CTE chain (starting with a comma, appended after _UNIT_CTE) that
+    unrolls one deterministic Lloyd round at codebook size `k` and ends
+    with `af` = the final (vec_id, unit, cell) assignment — shared by the
+    IVF oracle and the SemDeDup oracle."""
+    return rf"""
     , cent0 AS (
       SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cell, unit AS cvec
       FROM (SELECT vec_id, unit FROM u ORDER BY vec_id LIMIT {k})
@@ -1645,7 +1642,20 @@ def _ivf_kmeans_sql(k: int) -> str:
                                 i -> u.unit[i] * c.cvec[i])), 4) DESC, c.cell) AS rk
         FROM u CROSS JOIN cent1 c
       ) WHERE rk = 1
-    ), q AS (SELECT vec_id AS query_id, cell, unit AS qu FROM af WHERE vec_id % 25 = 0),
+    )"""
+
+
+def _ivf_kmeans_sql(k: int) -> str:
+    """Oracle for the Lloyd-trained IVF top-k, parameterized on codebook
+    size: one k-means round (init = unit vectors of the k smallest ids)
+    unrolled structurally in SQL, then the single-probe IVF join. The SAME
+    SQL shape serves both the literal-codebook path (tiny k) and the
+    broadcast-Arrow path (large k) — the oracle sees only the contract."""
+    return (
+        _UNIT_CTE
+        + _kmeans_af_cte(k)
+        + r"""
+    , q AS (SELECT vec_id AS query_id, cell, unit AS qu FROM af WHERE vec_id % 25 = 0),
     scored AS (
       SELECT q.query_id, c.vec_id AS neighbor_id,
              ROUND(list_sum(list_transform(generate_series(1, 64), i -> c.unit[i] * q.qu[i])), 4) AS cos_sim
@@ -2878,3 +2888,43 @@ def gr_hits(spark, sf_dir):
     from theta_spark.functions.graph import hits
 
     return hits(_graph_edges(spark, sf_dir), iters=3).orderBy("node")
+
+
+_SEMDEDUP_SQL = (
+    _UNIT_CTE.replace("WITH u AS", "WITH RECURSIVE u AS")
+    + _kmeans_af_cte(4)
+    + r"""
+    , pairs AS (
+      SELECT a.vec_id AS a, b.vec_id AS b
+      FROM af a JOIN af b ON a.cell = b.cell AND a.vec_id < b.vec_id
+      WHERE ROUND(list_sum(list_transform(generate_series(1, 64),
+                  i -> a.unit[i] * b.unit[i])), 4) >= 0.35
+    ), sym AS (
+      SELECT a, b FROM pairs UNION SELECT b, a FROM pairs
+    ), walk(node, label) AS (
+      SELECT vec_id, vec_id FROM u
+      UNION
+      SELECT e.a, w.label FROM sym e JOIN walk w ON e.b = w.node
+    )
+    SELECT w.node AS vec_id, af.cell,
+           MIN(w.label) AS keeper,
+           CASE WHEN MIN(w.label) = w.node THEN 1 ELSE 0 END AS kept
+    FROM walk w JOIN af ON af.vec_id = w.node
+    GROUP BY w.node, af.cell ORDER BY vec_id
+    """
+)
+
+
+@query("dd_semdedup", _SEMDEDUP_SQL)
+def dd_semdedup(spark, sf_dir):
+    """SemDeDup semantic dedup (functions/similarity.py semantic_dedup):
+    Lloyd k-means cells over the embeddings (k=4, the oracle-pinned
+    quantizer), cosine >= 0.35 pairs WITHIN each cell only (the paper's
+    bound on the quadratic search), connected-components group
+    resolution, keeper = min vec_id. The oracle reuses the shared Lloyd
+    CTE chain and closes the pair set with a recursive CTE."""
+    from theta_spark.functions.similarity import semantic_dedup
+
+    return semantic_dedup(
+        _load(spark, sf_dir, "embeddings"), k=4, iters=1, threshold=0.35
+    ).orderBy("vec_id")
