@@ -2928,3 +2928,90 @@ def dd_semdedup(spark, sf_dir):
     return semantic_dedup(
         _load(spark, sf_dir, "embeddings"), k=4, iters=1, threshold=0.35
     ).orderBy("vec_id")
+
+
+@query(
+    "t_stratified_sample",
+    r"""
+    WITH kept AS (
+      SELECT lang, doc_id
+      FROM documents
+      WHERE ('0x' || substr(md5(doc_id || '#strat#42'), 1, 8))::BIGINT % 1000 <
+            CASE lang WHEN 'en' THEN 250 WHEN 'de' THEN 1000
+                      WHEN 'es' THEN 1000 WHEN 'fr' THEN 1000
+                      WHEN 'zh' THEN 500 ELSE 0 END
+    )
+    SELECT lang, COUNT(*)::BIGINT AS n_kept,
+           MIN(doc_id) AS min_id, MAX(doc_id) AS max_id,
+           SUM(doc_id)::BIGINT AS id_sum
+    FROM kept GROUP BY lang ORDER BY lang
+    """,
+)
+def t_stratified_sample(spark, sf_dir):
+    """Deterministic stratified sampling (functions/sampling.py
+    stratified_sample): per-language keep rates in permille (keep all of
+    the rare languages, a quarter of dominant en, half of zh) decided by
+    an md5 draw modulo 1000 — ONE narrow filter, no shuffle, no count
+    pass, bit-identical on any cluster/partitioning/rerun, and
+    subset-composable across rates at the same seed. Aggregated per
+    stratum (count + id checksums) so the oracle pins the EXACT kept
+    set, not just its size."""
+    from theta_spark.functions.sampling import stratified_sample
+
+    kept = stratified_sample(
+        _load(spark, sf_dir, "documents"),
+        rates_permille={"en": 250, "de": 1000, "es": 1000, "fr": 1000, "zh": 500},
+        stratum_col="lang",
+        key_col="doc_id",
+        seed=42,
+    )
+    return (
+        kept.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_kept"),
+            F.min("doc_id").alias("min_id"),
+            F.max("doc_id").alias("max_id"),
+            F.sum("doc_id").cast("long").alias("id_sum"),
+        )
+        .orderBy("lang")
+    )
+
+
+@query(
+    "t_domain_mix",
+    r"""
+    WITH counts AS (
+      SELECT lang AS domain, COUNT(*)::BIGINT AS n_docs FROM documents GROUP BY lang
+    ), tot AS (SELECT SUM(n_docs)::BIGINT AS n_total FROM counts),
+    base AS (
+      SELECT domain, n_docs, n_total,
+             CASE domain WHEN 'en' THEN 200 WHEN 'de' THEN 200 WHEN 'es' THEN 200
+                         WHEN 'fr' THEN 200 WHEN 'zh' THEN 200 ELSE 0 END AS target_pm
+      FROM counts CROSS JOIN tot
+    ), w AS (
+      SELECT *, (target_pm * n_total) AS w_num, (1000 * n_docs) AS w_den FROM base
+    ), mx AS (SELECT MAX(w_num::DOUBLE / w_den) AS w_max FROM w)
+    SELECT domain, n_docs,
+           ROUND(n_docs::DOUBLE / n_total, 6) AS observed_share,
+           ROUND(target_pm / 1000.0, 6) AS target_share,
+           ROUND(CASE WHEN w_max > 0 THEN (w_num::DOUBLE / w_den) / w_max
+                      ELSE 0.0 END, 6) AS weight_norm
+    FROM w CROSS JOIN mx ORDER BY domain
+    """,
+)
+def t_domain_mix(spark, sf_dir):
+    """Domain-mixture reweighting (functions/sampling.py
+    domain_mix_weights): observed vs target share per language and the
+    normalized sampling weight that moves the mix toward a UNIFORM
+    five-way target — the most under-represented language keeps rate
+    1.0, the rest are downsampled proportionally (feed weight*1000 into
+    stratified_sample for the exact-integer keep rule). One
+    groupBy(domain) + a broadcast 1-row max; ratios are single
+    divisions of exact integers."""
+    from theta_spark.functions.sampling import domain_mix_weights
+
+    return domain_mix_weights(
+        _load(spark, sf_dir, "documents"),
+        target_permille={"en": 200, "de": 200, "es": 200, "fr": 200, "zh": 200},
+        domain_col="lang",
+    ).orderBy("domain")
