@@ -148,3 +148,26 @@ def test_repetition_stats_hand_computed(spark):
     assert got[3] == (10, round(1 - 1 / 10, 6), round(27 / 19, 6), round(54 / 19, 6), 0)
     assert got[4] == (1, 0.0, 0.0, 0.0, 1)
     assert got[5] == (0, 0.0, 0.0, 0.0, 1)
+
+
+def test_redact_pii_hand_cases(spark):
+    """Counts on the original text (order-independent), sentinels applied
+    email-first; IP octets never count as id runs; 8-digit runs pass."""
+    from theta_spark.functions.text import redact_pii
+
+    rows = [
+        (1, "mail a.b+c@foo.org and d@bar.co end"),
+        (2, "ip 192.168.0.1 and 10.0.300.7 acct 123456789"),
+        (3, "short 12345678 ok"),          # 8 digits: NOT an id run
+        (4, "nested user99@ex.com 4111111111111111"),
+        (5, "clean text"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: (r.n_email, r.n_ipv4, r.n_idnum, r.redacted)
+           for r in redact_pii(df).collect()}
+    assert got[1] == (2, 0, 0, "mail <EMAIL> and <EMAIL> end")
+    # 10.0.300.7 still matches \d{1,3} groups (300 = 3 digits)
+    assert got[2] == (0, 2, 1, "ip <IP> and <IP> acct <ID>")
+    assert got[3] == (0, 0, 0, "short 12345678 ok")
+    assert got[4] == (1, 0, 1, "nested <EMAIL> <ID>")
+    assert got[5] == (0, 0, 0, "clean text")

@@ -62,3 +62,33 @@ def test_domain_mix_weights_hand_math(spark):
     }
     assert got["small"] == (20, 0.2, 0.5, 1.0)
     assert got["big"] == (80, 0.8, 0.5, 0.25)
+
+
+def test_pack_sequences_hand_math_and_bucket_invariance(spark):
+    """Concat-and-chunk packing: hand-checked stream positions incl. a
+    bin-spanning doc and an empty doc; bucket_width cannot change a bit
+    (two-phase cumsum == global cumsum)."""
+    from theta_spark.functions.packing import pack_sequences
+
+    rows = [
+        (0, "a b c"),          # 3 tokens  [0,3)
+        (1, ""),               # 0 tokens  at 3
+        (2, " ".join("t" * 1 for _ in range(10))),  # 10 tokens [3,13) spans bins (w=8)
+        (3, "x y"),            # 2 tokens [13,15)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.n_tokens, r.start_tok, r.bin_first, r.bin_last, r.bin_offset)
+        for r in pack_sequences(df, window=8, bucket_width=2).collect()
+    }
+    assert got[0] == (3, 0, 0, 0, 0)
+    assert got[1] == (0, 3, 0, 0, 3)
+    assert got[2] == (10, 3, 0, 1, 3)   # spans bins 0..1
+    assert got[3] == (2, 13, 1, 1, 5)
+
+    for bw in (1, 3, 1000):
+        alt = {
+            r.doc_id: (r.n_tokens, r.start_tok, r.bin_first, r.bin_last, r.bin_offset)
+            for r in pack_sequences(df, window=8, bucket_width=bw).collect()
+        }
+        assert alt == got, bw

@@ -1,0 +1,78 @@
+"""Sequence packing (concat-and-chunk): assign every document a position
+in the flat token stream a pre-training run consumes — docs are
+concatenated in id order and cut into fixed `window`-token training
+sequences, so each doc lands at (start_tok, bin_first..bin_last,
+bin_offset). The op every GPT-style data pipeline runs between
+tokenization and batching.
+
+The global token-offset cumsum uses the same TWO-PHASE prefix sum as
+operators/augment.py:vocab_index (VERDICT r4 #3): within-bucket window
+cumsum (bucket = contiguous id range, a prefix of the order key) + a
+triangular self-join over per-bucket totals for the offsets — no
+unpartitioned window, integer sums throughout, bit-identical to the
+naive global cumsum (pytest-pinned).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from theta_spark.functions.text import token_count
+
+
+def pack_sequences(
+    docs: DataFrame,
+    window: int = 128,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bucket_width: int = 1024,
+) -> DataFrame:
+    """(id, n_tokens, start_tok, bin_first, bin_last, bin_offset) for the
+    concat-and-chunk packing of `docs` in ascending id order into
+    `window`-token bins. Docs may span bins (the standard pre-training
+    chunker splits them); empty docs occupy zero tokens at their stream
+    position. All columns are exact integers.
+
+    Scale shape: one narrow token-count projection, a per-bucket window
+    cumsum (bucket = id range of `bucket_width`, so (bucket, id)
+    ordering == global id ordering), and a triangular join over the
+    per-bucket totals (aggregated side: one row per bucket — size
+    id_range/bucket_width; widen `bucket_width` as the corpus grows, or
+    recurse the same two-phase trick over bucket totals at 10^9+
+    buckets). No unpartitioned window, no collect, no shuffle of the
+    doc rows beyond the bucket cumsum.
+    """
+    d = docs.select(
+        F.col(id_col), token_count(F.col(text_col)).cast("long").alias("n_tokens")
+    ).withColumn("bkt", F.expr(f"{id_col} div {int(bucket_width)}"))
+    w_in = Window.partitionBy("bkt").orderBy(id_col)
+    d = d.withColumn(
+        "cum_in", F.sum("n_tokens").over(w_in.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    totals = d.groupBy("bkt").agg(F.sum("n_tokens").alias("bt"))
+    offs = (
+        totals.alias("a")
+        .join(totals.alias("b"), F.col("b.bkt") < F.col("a.bkt"), "left")
+        .groupBy(F.col("a.bkt").alias("bkt"))
+        .agg(F.coalesce(F.sum("b.bt"), F.lit(0)).alias("off"))
+    )
+    w = int(window)
+    return (
+        d.join(F.broadcast(offs), "bkt")
+        .select(
+            id_col,
+            "n_tokens",
+            (F.col("off") + F.col("cum_in") - F.col("n_tokens")).alias("start_tok"),
+        )
+        .select(
+            id_col,
+            "n_tokens",
+            "start_tok",
+            F.expr(f"start_tok div {w}").alias("bin_first"),
+            F.expr(f"greatest(start_tok + n_tokens - 1, start_tok) div {w}").alias(
+                "bin_last"
+            ),
+            F.pmod(F.col("start_tok"), F.lit(w)).cast("long").alias("bin_offset"),
+        )
+    )

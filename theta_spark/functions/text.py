@@ -254,3 +254,40 @@ def repetition_stats(
             & (F.col("dup_chars") * dup_max[1] <= tc * dup_max[0])
         ).cast("int").alias("rep_pass"),
     )
+
+
+# PII patterns deliberately restricted to syntax Java regex and RE2
+# (DuckDB) interpret identically: character classes, bounded repeats,
+# \b word boundaries, greedy quantifiers — no lookaround, no backrefs.
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PII_IDNUM = r"\b\d{9,19}\b"
+
+
+def redact_pii(df, text_col: str = "text"):
+    """PII scrub — the pre-training compliance sweep: count and mask
+    emails, IPv4 addresses, and long id-like digit runs (9-19 digits:
+    SSNs, account and card numbers). Adds `n_email`, `n_ipv4`,
+    `n_idnum` (counted on the ORIGINAL text, so counts are
+    order-independent) and `redacted` (sentinels <EMAIL>, <IP>, <ID>,
+    applied in that order — email first so its digits never
+    double-count as ids).
+
+    Scale shape: pure per-row column expressions (regexp_count /
+    regexp_replace) — whole-stage codegen, no UDF, no shuffle; at
+    100 TB this is scan-bound, exactly as a scrub should be."""
+    c = F.col(text_col)
+    return df.withColumns(
+        {
+            "n_email": F.regexp_count(c, F.lit(PII_EMAIL)).cast("long"),
+            "n_ipv4": F.regexp_count(c, F.lit(PII_IPV4)).cast("long"),
+            "n_idnum": F.regexp_count(c, F.lit(PII_IDNUM)).cast("long"),
+            "redacted": F.regexp_replace(
+                F.regexp_replace(
+                    F.regexp_replace(c, PII_EMAIL, "<EMAIL>"), PII_IPV4, "<IP>"
+                ),
+                PII_IDNUM,
+                "<ID>",
+            ),
+        }
+    )

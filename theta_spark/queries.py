@@ -3015,3 +3015,100 @@ def t_domain_mix(spark, sf_dir):
         target_permille={"en": 200, "de": 200, "es": 200, "fr": 200, "zh": 200},
         domain_col="lang",
     ).orderBy("domain")
+
+
+@query(
+    "t_pack_sequences",
+    r"""
+    WITH d AS (
+      SELECT doc_id,
+             len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+                             x -> x != ''))::BIGINT AS n_tokens
+      FROM documents
+    ), c AS (
+      SELECT doc_id, n_tokens,
+             SUM(n_tokens) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens
+               AS start_tok
+      FROM d
+    )
+    SELECT doc_id, n_tokens, start_tok,
+           start_tok // 128 AS bin_first,
+           greatest(start_tok + n_tokens - 1, start_tok) // 128 AS bin_last,
+           start_tok % 128 AS bin_offset
+    FROM c ORDER BY doc_id
+    """,
+)
+def t_pack_sequences(spark, sf_dir):
+    """Concat-and-chunk sequence packing (functions/packing.py
+    pack_sequences): every doc's position in the flat token stream a
+    pre-training run consumes — 128-token bins, docs split across bin
+    boundaries, all-integer. The global cumsum is the two-phase prefix
+    sum (per-bucket window + triangular offsets join — no unpartitioned
+    window); the oracle is the naive single-window cumsum the two-phase
+    form is provably identical to."""
+    from theta_spark.functions.packing import pack_sequences
+
+    return pack_sequences(
+        _load(spark, sf_dir, "documents"), window=128, bucket_width=1024
+    ).orderBy("doc_id")
+
+
+@query(
+    "t_pii_redact",
+    r"""
+    WITH aug AS (
+      SELECT doc_id,
+             text ||
+             CASE WHEN doc_id % 3 = 0
+                  THEN ' contact user' || doc_id || '@example.com' ELSE '' END ||
+             CASE WHEN doc_id % 5 = 0
+                  THEN ' host 10.0.' || (doc_id % 256) || '.7' ELSE '' END ||
+             CASE WHEN doc_id % 7 = 0
+                  THEN ' acct 4111111111111111' ELSE '' END AS text
+      FROM documents
+    )
+    SELECT doc_id,
+           len(regexp_extract_all(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))::BIGINT AS n_email,
+           len(regexp_extract_all(text,
+               '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b'))::BIGINT AS n_ipv4,
+           len(regexp_extract_all(text, '\b\d{9,19}\b'))::BIGINT AS n_idnum,
+           regexp_replace(regexp_replace(regexp_replace(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+               '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+               '\b\d{9,19}\b', '<ID>', 'g') AS redacted
+    FROM aug ORDER BY doc_id
+    """,
+)
+def t_pii_redact(spark, sf_dir):
+    """PII scrub (functions/text.py redact_pii): emails / IPv4 / id-like
+    digit runs counted on the original text and masked with sentinels —
+    pure codegen regexp columns, no UDF, scan-bound at any scale. PII is
+    synthesized deterministically from doc_id on BOTH sides (the corpus
+    itself is clean), so the oracle pins counts AND the full redacted
+    string against DuckDB's RE2 — the patterns are restricted to the
+    dialect-shared subset."""
+    from theta_spark.functions.text import redact_pii
+
+    d = _load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.concat(F.lit(" contact user"), F.col("doc_id").cast("string"),
+                         F.lit("@example.com")),
+            ).otherwise(""),
+            F.when(
+                F.col("doc_id") % 5 == 0,
+                F.concat(F.lit(" host 10.0."), (F.col("doc_id") % 256).cast("string"),
+                         F.lit(".7")),
+            ).otherwise(""),
+            F.when(F.col("doc_id") % 7 == 0, F.lit(" acct 4111111111111111"))
+            .otherwise(""),
+        ).alias("text"),
+    )
+    return redact_pii(d).select(
+        "doc_id", "n_email", "n_ipv4", "n_idnum", "redacted"
+    ).orderBy("doc_id")
