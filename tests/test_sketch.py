@@ -1,0 +1,71 @@
+"""Deterministic HLL (functions/sketch.py): python md5 replica, the
+max-merge shard property, and the accuracy band at m=256."""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+from theta_spark.functions.sketch import _alpha, hll_estimate, hll_registers
+
+
+def _py_hll(keys, b):
+    m, W = 1 << b, 60 - b
+    regs = {}
+    for k in keys:
+        h = int(hashlib.md5(str(k).encode()).hexdigest()[:15], 16)
+        idx, w = h >> W, h & ((1 << W) - 1)
+        rank = (W + 1) if w == 0 else (W + 1 - w.bit_length())
+        regs[idx] = max(regs.get(idx, 0), rank)
+    s = sum(1 << (W + 1 - mx) for mx in regs.values()) + (m - len(regs)) * (
+        1 << (W + 1)
+    )
+    est = _alpha(m) * m * m * float(1 << (W + 1)) / s
+    return regs, s, round(est, 4)
+
+
+def test_hll_matches_python_replica(spark):
+    keys = [f"k{i}" for i in range(1000)]
+    df = spark.createDataFrame([(k,) for k in keys], "key string")
+    for b in (4, 8):
+        exp_regs, exp_s, exp_est = _py_hll(keys, b)
+        regs = {r.idx: r.mx for r in hll_registers(df, "key", b=b).collect()}
+        assert regs == exp_regs, b
+        row = hll_estimate(df, "key", b=b).collect()[0]
+        assert row.s_scaled == exp_s and row.est == exp_est
+
+
+def test_hll_shard_merge_equals_whole(spark):
+    """Registers from two shards, max-merged, give the identical
+    estimate — the distributed property."""
+    keys = [f"k{i}" for i in range(2000)]
+    df = spark.createDataFrame([(k,) for k in keys], "key string")
+    whole = {r.idx: r.mx for r in hll_registers(df, "key", b=6).collect()}
+    a = hll_registers(df.filter(F.crc32(F.col("key")) % 2 == 0), "key", b=6)
+    bdf = hll_registers(df.filter(F.crc32(F.col("key")) % 2 == 1), "key", b=6)
+    merged = {
+        r.idx: r.mx
+        for r in a.unionByName(bdf).groupBy("idx").agg(F.max("mx").alias("mx")).collect()
+    }
+    assert merged == whole
+
+
+def test_hll_accuracy_band_m256(spark):
+    """m=256 -> ~6.5% relative std error; allow 3 sigma on one draw."""
+    n = 5000
+    df = spark.createDataFrame([(f"item-{i}",) for i in range(n)], "key string")
+    est = hll_estimate(df, "key", b=8).collect()[0].est
+    assert abs(est - n) / n < 0.2, est
+
+
+def test_hll_dedup_and_grouping(spark):
+    """Duplicates don't move registers; groups are independent."""
+    rows = [(f"g{i % 2}", f"k{i % 50}") for i in range(1000)]
+    df = spark.createDataFrame(rows, "g string, key string")
+    out = {r.g: r for r in hll_estimate(df, "key", ("g",), b=8).collect()}
+    # g0 sees k0..k48 even, g1 odd: 25 distinct each
+    exp0 = _py_hll([f"k{i}" for i in range(0, 50, 2)], 8)
+    exp1 = _py_hll([f"k{i}" for i in range(1, 50, 2)], 8)
+    assert out["g0"].s_scaled == exp0[1] and out["g0"].est == exp0[2]
+    assert out["g1"].s_scaled == exp1[1] and out["g1"].est == exp1[2]

@@ -1,0 +1,98 @@
+"""Deterministic HyperLogLog (Flajolet et al. 2007) — distributed
+cardinality estimation whose registers and estimate are BIT-REPRODUCIBLE
+across engines, partitionings, and shards (unlike
+`approx_count_distinct`, whose hash is engine-private):
+
+- hash = first 15 md5 hex chars of the key → 60-bit integer (the SQL
+  twin is ``('0x' || substr(md5(x), 1, 15))::BIGINT`` — the same idiom
+  the augment/classify draws pin);
+- register index = top `b` bits, rank = leading-zero count of the
+  remaining ``W = 60 - b`` bits + 1 (computed EXACTLY as
+  ``W + 1 - length(bin(w))``, no float log);
+- the harmonic sum is kept in scaled INTEGER form:
+  ``S = Σ 2^(W+1-M_j)`` over all m registers (empty register ⇒ 2^(W+1)),
+  which fits i64 and sums exactly in any order — the one float op is the
+  final ``alpha·m²·2^(W+1) / S`` division.
+
+Registers merge by MAX — the property that makes the sketch distributed:
+shard registers anywhere, max-combine, same estimate to the bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# standard HLL bias constants by register-count
+_ALPHA = {16: 0.673, 32: 0.697, 64: 0.709}
+
+
+def _alpha(m: int) -> float:
+    return _ALPHA.get(m, 0.7213 / (1 + 1.079 / m))
+
+
+def hll_registers(
+    df: DataFrame, key_col: str, group_cols: tuple = (), b: int = 4
+) -> DataFrame:
+    """(group..., idx, mx): max observed rank per register — one groupBy
+    with map-side partial MAX, mergeable across shards/epochs by another
+    max-groupBy."""
+    m = 1 << b  # noqa: F841 — documented relation idx ∈ [0, m)
+    W = 60 - b
+    hashed = df.select(
+        *group_cols,
+        F.conv(F.substring(F.md5(F.col(key_col).cast("string")), 1, 15), 16, 10)
+        .cast("long")
+        .alias("h"),
+    )
+    # integer div/mod only — h exceeds 2^53, float division would
+    # misplace boundary hashes
+    split = hashed.select(
+        *group_cols,
+        F.expr(f"h div {1 << W}").alias("idx"),
+        (F.col("h") % F.lit(1 << W)).alias("w"),
+    )
+    rank = F.when(F.col("w") == 0, F.lit(W + 1)).otherwise(
+        F.lit(W + 1) - F.length(F.bin(F.col("w")))
+    )
+    return (
+        split.select(*group_cols, "idx", rank.alias("rank"))
+        .groupBy(*group_cols, "idx")
+        .agg(F.max("rank").cast("long").alias("mx"))
+    )
+
+
+def hll_estimate(
+    df: DataFrame, key_col: str, group_cols: tuple = (), b: int = 4
+) -> DataFrame:
+    """(group..., m, v_empty, s_scaled, est): deterministic HLL
+    cardinality per group. `s_scaled` is the exact-integer harmonic sum
+    (the auditable invariant an oracle hash-matches); `est` is the raw
+    HLL estimate rounded at 4dp. `v_empty` is exposed so callers can
+    apply the small-range linear-counting correction (m·ln(m/V)) when it
+    applies — kept out of the core so the output stays float-drift-free.
+
+    Scale shape: one narrow hash projection, one (group, idx) groupBy
+    with partial max, one group-level agg — register state is O(m) per
+    group no matter how many rows feed it.
+    """
+    m = 1 << b
+    W = 60 - b
+    regs = hll_registers(df, key_col, group_cols, b)
+    gb = list(group_cols)
+    agg = regs.groupBy(*gb).agg(
+        F.count(F.lit(1)).cast("long").alias("n_present"),
+        F.sum(F.expr(f"shiftleft(1L, cast({W + 1} - mx AS int))"))
+        .cast("long")
+        .alias("s_present"),
+    )
+    top = F.lit(1 << (W + 1)).cast("long")
+    s_scaled = (F.col("s_present") + (F.lit(m) - F.col("n_present")) * top).cast("long")
+    num = float(_alpha(m)) * m * m * float(1 << (W + 1))
+    return agg.select(
+        *gb,
+        F.lit(m).alias("m"),
+        (F.lit(m) - F.col("n_present")).cast("long").alias("v_empty"),
+        s_scaled.alias("s_scaled"),
+        F.round(F.lit(num) / s_scaled, 4).alias("est"),
+    )

@@ -3112,3 +3112,46 @@ def t_pii_redact(spark, sf_dir):
     return redact_pii(d).select(
         "doc_id", "n_email", "n_ipv4", "n_idnum", "redacted"
     ).orderBy("doc_id")
+
+
+@query(
+    "t_hll_cardinality",
+    r"""
+    WITH h AS (
+      SELECT lang, ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT AS h
+      FROM documents
+    ), sp AS (
+      SELECT lang, h // 72057594037927936 AS idx, h % 72057594037927936 AS w FROM h
+    ), r AS (
+      SELECT lang, idx,
+             CASE WHEN w = 0 THEN 57 ELSE 57 - length(bin(w)) END AS rank
+      FROM sp
+    ), regs AS (
+      SELECT lang, idx, MAX(rank) AS mx FROM r GROUP BY lang, idx
+    ), agg AS (
+      SELECT lang, COUNT(*) AS n_present,
+             SUM((1::BIGINT << (57 - mx)))::BIGINT AS s_present
+      FROM regs GROUP BY lang
+    )
+    SELECT lang, 16 AS m,
+           (16 - n_present)::BIGINT AS v_empty,
+           (s_present + (16 - n_present) * 144115188075855872)::BIGINT AS s_scaled,
+           ROUND(2.482931752321306e+19 /
+                 (s_present + (16 - n_present) * 144115188075855872), 4) AS est
+    FROM agg ORDER BY lang
+    """,
+)
+def t_hll_cardinality(spark, sf_dir):
+    """Deterministic HyperLogLog (functions/sketch.py): per-language doc
+    cardinality from md5-hashed 60-bit values — register index/rank by
+    exact integer div/bin-length (no float log), harmonic sum kept as
+    the exact-integer s_scaled invariant, ONE float division at the end.
+    Unlike approx_count_distinct the sketch is engine-reproducible: the
+    oracle rebuilds registers in SQL and hash-matches s_scaled (and the
+    4dp estimate) bit for bit. Registers merge by MAX — shard anywhere,
+    same answer."""
+    from theta_spark.functions.sketch import hll_estimate
+
+    return hll_estimate(
+        _load(spark, sf_dir, "documents"), "doc_id", ("lang",), b=4
+    ).orderBy("lang")
