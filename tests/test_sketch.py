@@ -69,3 +69,45 @@ def test_hll_dedup_and_grouping(spark):
     exp1 = _py_hll([f"k{i}" for i in range(1, 50, 2)], 8)
     assert out["g0"].s_scaled == exp0[1] and out["g0"].est == exp0[2]
     assert out["g1"].s_scaled == exp1[1] and out["g1"].est == exp1[2]
+
+
+def test_cms_overestimates_and_matches_python(spark):
+    """CMS: est >= exact for EVERY key (collisions only inflate); sketch
+    counts match a python replica; bucket-wise ADD merges shards."""
+    import collections
+
+    keys = [f"k{i % 30}" for i in range(600)] + ["hot"] * 400
+    df = spark.createDataFrame([(k,) for k in keys], "key string")
+
+    from theta_spark.functions.sketch import cms_heavy_hitters, cms_sketch
+
+    d, w = 3, 32
+    sk = {(r.row_j, r.bucket): r.cnt for r in cms_sketch(df, "key", d, w).collect()}
+    exp = collections.Counter()
+    for k in keys:
+        for j in range(d):
+            exp[(j, _py_draw_cms(k, j) % w)] += 1
+    assert sk == dict(exp)
+
+    hh = cms_heavy_hitters(df, "key", d, w, k=5).collect()
+    assert hh[0].key == "hot" and hh[0].exact == 400 and hh[0].est >= 400
+    for r in hh:
+        assert r.est >= r.exact
+
+    # shard merge: sketches add bucket-wise (deterministic index split)
+    idf = spark.createDataFrame(list(enumerate(keys)), "idx long, key string")
+    import pyspark.sql.functions as F2
+    a = cms_sketch(idf.filter(F2.col("idx") < 500), "key", d, w)
+    bdf = cms_sketch(idf.filter(F2.col("idx") >= 500), "key", d, w)
+    merged = {
+        (r.row_j, r.bucket): r.cnt
+        for r in a.unionByName(bdf)
+        .groupBy("row_j", "bucket")
+        .agg(F2.sum("cnt").alias("cnt"))
+        .collect()
+    }
+    assert merged == sk
+
+
+def _py_draw_cms(key, j):
+    return int(hashlib.md5(f"{key}#cms{j}#0".encode()).hexdigest()[:8], 16)

@@ -23,6 +23,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from theta_spark.functions.sampling import _draw32
+
 # standard HLL bias constants by register-count
 _ALPHA = {16: 0.673, 32: 0.697, 64: 0.709}
 
@@ -95,4 +97,67 @@ def hll_estimate(
         (F.lit(m) - F.col("n_present")).cast("long").alias("v_empty"),
         s_scaled.alias("s_scaled"),
         F.round(F.lit(num) / s_scaled, 4).alias("est"),
+    )
+
+
+def cms_sketch(
+    df: DataFrame, key_col: str, d: int = 3, w: int = 64, weight_col: str | None = None
+) -> DataFrame:
+    """Count-Min sketch (Cormode & Muthukrishnan 2005): (row j, bucket,
+    cnt) — d md5-derived hash rows of w buckets each. State is O(d·w)
+    REGARDLESS of stream size, counts are exact integer sums, and two
+    sketches merge by bucket-wise ADD — the deterministic twin of the
+    streaming frequency sketch. Hash j of key = md5-draw(key, 'cms<j>')
+    % w, the same replayable-draw convention as sampling/augment."""
+    rows = None
+    wcol = F.col(weight_col) if weight_col else F.lit(1)
+    for j in range(d):
+        r = df.select(
+            F.lit(j).alias("row_j"),
+            (_draw32(F.col(key_col), f"cms{j}", 0) % w).alias("bucket"),
+            wcol.alias("w_"),
+        )
+        rows = r if rows is None else rows.unionByName(r)
+    return (
+        rows.groupBy("row_j", "bucket")
+        .agg(F.sum("w_").cast("long").alias("cnt"))
+    )
+
+
+def cms_heavy_hitters(
+    df: DataFrame, key_col: str, d: int = 3, w: int = 64, k: int = 10
+) -> DataFrame:
+    """Top-k heavy hitters by Count-Min estimate → (key, est, exact):
+    the skew-detection pass (hot entities, hot join keys) — `est` =
+    min over rows of the key's bucket count (CMS guarantees est >=
+    exact; collisions only inflate), `exact` carried beside it to make
+    the overestimate auditable. Deterministic cut: (est DESC, exact
+    DESC, key).
+
+    Scale shape: the sketch is O(d·w) rows; candidates are the distinct
+    keys (at stream scale the candidate set comes from per-partition
+    pre-aggregation, which the distinct+join here already is) joined
+    against the broadcast sketch — no per-row state, no window."""
+    sk = cms_sketch(df, key_col, d, w)
+    exact = df.groupBy(F.col(key_col).alias("key")).agg(
+        F.count(F.lit(1)).cast("long").alias("exact")
+    )
+    probes = None
+    for j in range(d):
+        p = exact.select(
+            "key",
+            "exact",
+            F.lit(j).alias("row_j"),
+            (_draw32(F.col("key"), f"cms{j}", 0) % w).alias("bucket"),
+        )
+        probes = p if probes is None else probes.unionByName(p)
+    est = (
+        probes.join(F.broadcast(sk), ["row_j", "bucket"])
+        .groupBy("key", "exact")
+        .agg(F.min("cnt").cast("long").alias("est"))
+    )
+    return (
+        est.select("key", "est", "exact")
+        .orderBy(F.desc("est"), F.desc("exact"), "key")
+        .limit(k)
     )

@@ -3155,3 +3155,51 @@ def t_hll_cardinality(spark, sf_dir):
     return hll_estimate(
         _load(spark, sf_dir, "documents"), "doc_id", ("lang",), b=4
     ).orderBy("lang")
+
+
+@query(
+    "t_heavy_hitters",
+    r"""
+    WITH js AS (SELECT unnest(generate_series(0, 2)) AS j),
+    toks AS (
+      SELECT unnest(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                    x -> x != '')) AS key
+      FROM documents
+    ), stream AS (
+      SELECT key, j,
+             ('0x' || substr(md5(key || '#cms' || j || '#0'), 1, 8))::BIGINT % 64
+               AS bucket
+      FROM toks CROSS JOIN js
+    ), sk AS (
+      SELECT j, bucket, COUNT(*)::BIGINT AS cnt FROM stream GROUP BY j, bucket
+    ), exact AS (
+      SELECT key, COUNT(*)::BIGINT AS exact FROM toks GROUP BY key
+    ), probes AS (
+      SELECT key, exact, j,
+             ('0x' || substr(md5(key || '#cms' || j || '#0'), 1, 8))::BIGINT % 64
+               AS bucket
+      FROM exact CROSS JOIN js
+    ), est AS (
+      SELECT p.key, p.exact, MIN(s.cnt)::BIGINT AS est
+      FROM probes p JOIN sk s ON p.j = s.j AND p.bucket = s.bucket
+      GROUP BY p.key, p.exact
+    )
+    SELECT key, est, exact FROM est
+    ORDER BY est DESC, exact DESC, key LIMIT 10
+    """,
+)
+def t_heavy_hitters(spark, sf_dir):
+    """Count-Min heavy hitters over the token stream (functions/sketch.py
+    cms_heavy_hitters): the skew-detection pass — d=3 md5 hash rows x
+    w=64 buckets (O(d·w) state regardless of stream size, add-mergeable),
+    est = min over rows (always >= exact; `exact` beside it makes the
+    collision inflation auditable), deterministic (est, exact, key) cut.
+    The oracle rebuilds sketch + probes relationally."""
+    from theta_spark.functions.sketch import cms_heavy_hitters
+
+    toks = _load(spark, sf_dir, "documents").select(
+        F.explode(
+            F.filter(F.split(F.trim(F.lower(F.col("text"))), r"\s+"), lambda t: t != "")
+        ).alias("token")
+    )
+    return cms_heavy_hitters(toks, "token", d=3, w=64, k=10)
