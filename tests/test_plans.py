@@ -186,3 +186,46 @@ def test_large_codebook_assignment_plan_shape(spark):
     small, _ = kmeans_cells_lloyd(df, k=4, iters=1)  # auto -> literal
     plan_small = small._jdf.queryExecution().executedPlan().toString()
     assert "MapInPandas" not in plan_small
+
+
+def test_repetition_stats_is_shuffle_free(spark):
+    """The Gopher repetition operator is ONE narrow Arrow stage: no
+    Exchange anywhere in the physical plan (per-doc gram counting is
+    row-local; only the final projection follows)."""
+    from theta_spark.functions.text import repetition_stats
+
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    p = plan_of(repetition_stats(d))
+    phys = p.split("== Physical Plan ==")[-1].split("== Initial Plan ==")[0]
+    assert "Exchange" not in phys, phys[:1500]
+    assert "MapInPandas" in p
+
+
+def test_contamination_joins_broadcast(spark):
+    """The benchmark shingle set is eval-set-sized: the overlap join must
+    be a BroadcastHashJoin, never a sort-merge shuffle of the corpus
+    shingle stream."""
+    from theta_spark.functions.dedup import contamination_scores
+
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    bench = d.filter(F.col("doc_id") % 37 == 0)
+    corpus = d.filter(F.col("doc_id") % 37 != 0)
+    p = plan_of(contamination_scores(corpus, bench, k=3))
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_stratified_sample_prunes_and_stays_narrow(spark):
+    """The sampling filter is one narrow stage over a pruned scan — no
+    Exchange, and ReadSchema carries only the referenced columns."""
+    from theta_spark.functions.sampling import stratified_sample
+
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "lang"
+    )
+    q = stratified_sample(d, {"en": 500}, "lang", "doc_id")
+    p = plan_of(q)
+    phys = p.split("== Physical Plan ==")[-1].split("== Initial Plan ==")[0]
+    assert "Exchange" not in phys
+    rs = [l for l in p.splitlines() if "ReadSchema" in l][0]
+    assert "doc_id" in rs and "text" not in rs
