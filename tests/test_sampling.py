@@ -92,3 +92,27 @@ def test_pack_sequences_hand_math_and_bucket_invariance(spark):
             for r in pack_sequences(df, window=8, bucket_width=bw).collect()
         }
         assert alt == got, bw
+
+
+def test_group_sample_exact_k_and_replayable(spark):
+    """Exactly K per group, python replica of the draw ranking, and a
+    WindowGroupLimit (top-K push-down) in the physical plan."""
+    import hashlib
+
+    from theta_spark.functions.sampling import group_sample
+
+    rows = [(i, "g" + str(i % 3)) for i in range(90)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = group_sample(df, 4, "lang", "doc_id", seed=9)
+    got = {(r.lang, r.doc_id) for r in out.collect()}
+    exp = set()
+    for g in ("g0", "g1", "g2"):
+        members = [i for i in range(90) if "g" + str(i % 3) == g]
+        members.sort(key=lambda i: (
+            int(hashlib.md5(f"{i}#gsample#9".encode()).hexdigest()[:8], 16), i))
+        exp |= {(g, i) for i in members[:4]}
+    assert got == exp and len(got) == 12
+
+    from test_plans import plan_of
+
+    assert "WindowGroupLimit" in plan_of(out)

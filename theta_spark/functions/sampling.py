@@ -12,7 +12,7 @@ rounding boundary between engines).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -112,4 +112,32 @@ def domain_mix_weights(
                 6,
             ).alias("weight_norm"),
         )
+    )
+
+
+def group_sample(
+    df: DataFrame,
+    n_per_group: int,
+    group_col: str,
+    key_col: str,
+    seed: int = 42,
+) -> DataFrame:
+    """Exactly-K-per-group uniform sample, reproducible: rank rows within
+    each group by their md5 draw (ties broken by key) and keep the first
+    `n_per_group` — the "pull K random-but-replayable examples per
+    domain/language/bucket" curation op. Unlike rate-based
+    `stratified_sample`, the count is exact per group.
+
+    Scale shape: one window PARTITIONED BY the group (groups are the
+    scale-out dimension; Spark plans it as WindowGroupLimit — a per-
+    partition top-K push-down, no full sort of the group). Same draw
+    convention as everywhere: same seed → same sample on any cluster.
+    """
+    w = Window.partitionBy(group_col).orderBy(
+        _draw32(F.col(key_col), "gsample", seed), F.col(key_col)
+    )
+    return (
+        df.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= n_per_group)
+        .drop("_rk")
     )

@@ -3203,3 +3203,41 @@ def t_heavy_hitters(spark, sf_dir):
         ).alias("token")
     )
     return cms_heavy_hitters(toks, "token", d=3, w=64, k=10)
+
+
+@query(
+    "t_group_sample",
+    r"""
+    WITH ranked AS (
+      SELECT lang, doc_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY lang
+               ORDER BY ('0x' || substr(md5(doc_id || '#gsample#42'), 1, 8))::BIGINT,
+                        doc_id) AS rk
+      FROM documents
+    ), kept AS (SELECT lang, doc_id FROM ranked WHERE rk <= 7)
+    SELECT lang, COUNT(*)::BIGINT AS n_kept,
+           SUM(doc_id)::BIGINT AS id_sum, MIN(doc_id) AS min_id
+    FROM kept GROUP BY lang ORDER BY lang
+    """,
+)
+def t_group_sample(spark, sf_dir):
+    """Exactly-K-per-group reproducible sampling (functions/sampling.py
+    group_sample): 7 uniform docs per language by md5-draw rank — Spark
+    plans the partitioned window as WindowGroupLimit (per-partition
+    top-K push-down, no full group sort). Aggregated with id checksums
+    so the oracle pins the exact kept set."""
+    from theta_spark.functions.sampling import group_sample
+
+    kept = group_sample(
+        _load(spark, sf_dir, "documents"), 7, "lang", "doc_id", seed=42
+    )
+    return (
+        kept.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_kept"),
+            F.sum("doc_id").cast("long").alias("id_sum"),
+            F.min("doc_id").alias("min_id"),
+        )
+        .orderBy("lang")
+    )
