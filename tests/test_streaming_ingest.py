@@ -205,3 +205,58 @@ def test_compact_epochs_preserves_registry_resolution_and_delta(spark, tmp_path)
     assert _registry_epoch_dirs(out, "scored_docs") == ["epoch=17", "epoch=18"]
     assert resolved(out) == resolved(control)
     assert pairs(out) == pairs(control)
+
+
+def test_stream_cardinality_hll_matches_batch_and_survives_compaction(spark, tmp_path):
+    """The per-epoch HLL register commits max-merge to the EXACT batch
+    sketch over the full (doc_id, sha256) registry — after multi-wave
+    ingest (adds + changes), after a replayed epoch, and after
+    compaction folds the register epochs into one base table."""
+    from theta_spark.functions.sketch import hll_estimate
+    from theta_spark.streaming.ingest import (
+        HLL_B,
+        compact_epochs,
+        read_stream_cardinality,
+    )
+
+    docs = generate_corpus(12, seed=7)
+    rows_v1 = corpus_rows(docs)
+    src, out, ckpt = (str(tmp_path / d) for d in ("src", "out", "ckpt"))
+
+    spark.createDataFrame(rows_v1, schema=CORPUS_SCHEMA).write.mode("overwrite").parquet(src)
+    _run_wave(spark, src, out, ckpt)
+    ch = rows_v1[0]
+    wave2 = [
+        (ch[0], ch[1], ch[2], ch[3], ch[4] + "\ndef tail():\n    pass\n"),
+        ("w2", "new.py", "c1", "python", "def f():\n    return 1\n"),
+        rows_v1[1],  # unchanged re-arrival: no new version
+    ]
+    spark.createDataFrame(wave2, schema=CORPUS_SCHEMA).write.mode("append").parquet(src)
+    _run_wave(spark, src, out, ckpt)
+
+    def batch_expect():
+        reg = spark.read.parquet(out + "/scored_docs").select("doc_id", "sha256").distinct()
+        return hll_estimate(
+            reg.select(F.concat_ws("|", "doc_id", "sha256").alias("vkey")), "vkey", b=HLL_B
+        ).collect()[0]
+
+    exp = batch_expect()
+    assert exp.est >= 1  # 14 versions; HLL at m=256 lands near it
+    got = read_stream_cardinality(spark, out).collect()[0]
+    assert (got.s_scaled, got.est, got.v_empty) == (exp.s_scaled, exp.est, exp.v_empty)
+
+    # replay epoch 1 (crash-redelivery): registers overwritten, same sketch
+    wave2_df = spark.createDataFrame(wave2, schema=CORPUS_SCHEMA)
+    process_corpus_batch_incremental(wave2_df, out, 1)
+    got2 = read_stream_cardinality(spark, out).collect()[0]
+    assert got2.s_scaled == exp.s_scaled
+
+    # compaction folds register epochs into one base dir; estimate unmoved
+    import os
+
+    compact_epochs(spark, out, floor=2)
+    assert os.listdir(out + "/hll_versions") != []
+    dirs = [d for d in os.listdir(out + "/hll_versions") if d.startswith("epoch=")]
+    assert dirs == ["epoch=1"]
+    got3 = read_stream_cardinality(spark, out).collect()[0]
+    assert (got3.s_scaled, got3.est) == (exp.s_scaled, exp.est)

@@ -78,10 +78,23 @@ def hll_estimate(
     with partial max, one group-level agg — register state is O(m) per
     group no matter how many rows feed it.
     """
+    regs = hll_registers(df, key_col, group_cols, b)
+    return hll_estimate_from_registers(regs, group_cols, b)
+
+
+def hll_estimate_from_registers(
+    regs: DataFrame, group_cols: tuple = (), b: int = 4
+) -> DataFrame:
+    """Estimate from an (idx, mx) register table — the merge-side half of
+    the sketch: registers from any number of shards/epochs, max-combined
+    (`groupBy(idx).max(mx)`), land here and give the identical estimate
+    the one-shot path computes. Tolerates duplicate register rows (max
+    is idempotent), which is what makes crash-replayed epoch commits
+    harmless."""
     m = 1 << b
     W = 60 - b
-    regs = hll_registers(df, key_col, group_cols, b)
     gb = list(group_cols)
+    regs = regs.groupBy(*gb, "idx").agg(F.max("mx").cast("long").alias("mx"))
     agg = regs.groupBy(*gb).agg(
         F.count(F.lit(1)).cast("long").alias("n_present"),
         F.sum(F.expr(f"shiftleft(1L, cast({W + 1} - mx AS int))"))

@@ -38,6 +38,7 @@ from theta_spark.config import PipelineConfig
 from theta_spark.pipeline import extract_mentions_df, extract_triples, with_doc_id
 
 STAGES = ("mentions", "triples", "scored_docs")
+HLL_B = 8  # stream-cardinality sketch precision (m=256 registers/epoch)
 
 # Expected stage schemas (epoch is the partition-dir column). Used as the
 # read fallback when every epoch so far yielded zero rows for a stage —
@@ -124,9 +125,21 @@ def process_corpus_batch_incremental(
     extract_triples(delta, cfg).write.mode("overwrite").parquet(
         f"{out_dir}/triples/epoch={epoch_id}"
     )
-    with_doc_id(delta).select("doc_id", "sha256").distinct().write.mode("overwrite").parquet(
-        f"{out_dir}/scored_docs/epoch={epoch_id}"
+    keyed = with_doc_id(delta).select("doc_id", "sha256").distinct().localCheckpoint(
+        eager=True
     )
+    keyed.write.mode("overwrite").parquet(f"{out_dir}/scored_docs/epoch={epoch_id}")
+    # stream-cardinality sketch: HLL registers over this epoch's NEW
+    # content versions — O(2^b) rows per epoch, max-merged at read time
+    # (read_stream_cardinality). Max-merge is idempotent, so a crash-
+    # replayed epoch overwriting its registers cannot move the estimate.
+    from theta_spark.functions.sketch import hll_registers
+
+    hll_registers(
+        keyed.select(F.concat_ws("|", "doc_id", "sha256").alias("vkey")),
+        "vkey",
+        b=HLL_B,
+    ).write.mode("overwrite").parquet(f"{out_dir}/hll_versions/epoch={epoch_id}")
 
 
 def attach_stream_incremental(
@@ -174,6 +187,30 @@ def read_resolved_stage(spark: SparkSession, out_dir: str, stage: str) -> DataFr
         .agg(F.max("epoch").alias("epoch"))
     )
     return df.join(latest, ["doc_id", "epoch"], "left_semi").drop("epoch")
+
+
+def read_stream_cardinality(spark: SparkSession, out_dir: str, b: int = HLL_B) -> DataFrame:
+    """Merged HLL estimate of the DISTINCT CONTENT VERSIONS (doc_id,
+    sha256) the stream has ever ingested — every epoch's O(2^b) register
+    rows max-merged into one estimate (m, v_empty, s_scaled, est). The
+    stream-health metric ("how many versions have we seen?") answered
+    without scanning the registry: register reads are O(epochs · 2^b)
+    rows, and after `compact_epochs` O(2^b). Bit-equal to the batch
+    `hll_estimate` over the full registry pair set (test-pinned);
+    duplicate register rows from crash replays cannot move it (max is
+    idempotent)."""
+    from pyspark.errors import AnalysisException
+
+    from theta_spark.functions.sketch import hll_estimate_from_registers
+
+    path = f"{out_dir}/hll_versions"
+    try:
+        regs = spark.read.parquet(path)
+    except AnalysisException as exc:
+        if "UNABLE_TO_INFER_SCHEMA" not in str(exc) and "infer schema" not in str(exc).lower():
+            raise
+        regs = spark.read.schema("idx long, mx long").parquet(path)
+    return hll_estimate_from_registers(regs.select("idx", "mx"), (), b)
 
 
 def compact_epochs(spark: SparkSession, out_dir: str, floor: int) -> dict:
@@ -244,14 +281,31 @@ def compact_epochs(spark: SparkSession, out_dir: str, floor: int) -> dict:
         )
         kept_rows[stage] = rows.localCheckpoint(eager=True)
 
+    # HLL registers fold by max-merge: one epoch=base register table
+    # replaces all below-floor epochs (registers are a union sketch —
+    # merging loses nothing, and duplicates from a crash between the
+    # write and the deletes below are absorbed by the read-time max)
+    hll_base = None
+    if os.path.isdir(os.path.join(out_dir, "hll_versions")):
+        hll_base = (
+            spark.read.parquet(f"{out_dir}/hll_versions")
+            .where(F.col("epoch") < F.lit(floor))
+            .groupBy("idx")
+            .agg(F.max("mx").alias("mx"))
+            .localCheckpoint(eager=True)
+        )
+
     # all reads are materialized; now rewrite the base and drop old dirs
     latest.write.mode("overwrite").parquet(f"{out_dir}/scored_docs/epoch={base}")
     hist_pairs.write.mode("overwrite").parquet(f"{out_dir}/scored_docs/epoch={hist}")
     for stage in ("mentions", "triples"):
         kept_rows[stage].write.mode("overwrite").parquet(f"{out_dir}/{stage}/epoch={base}")
+    if hll_base is not None:
+        hll_base.write.mode("overwrite").parquet(f"{out_dir}/hll_versions/epoch={base}")
 
     removed = 0
-    for stage in STAGES:
+    sweep = STAGES + (("hll_versions",) if hll_base is not None else ())
+    for stage in sweep:
         keep = {f"epoch={base}"} | ({f"epoch={hist}"} if stage == "scored_docs" else set())
         for d in _registry_epoch_dirs(out_dir, stage):
             if d not in keep and int(d.split("=", 1)[1]) < floor:
