@@ -402,3 +402,31 @@ def test_bpe_fragment_offsets_are_monotone_nondecreasing():
     ad = HFTokenizerAdapter(MiniByteBPE())
     toks, ss, es = ad.tokenize_with_offsets("cafù x 🚀")
     assert ss == sorted(ss) and es == sorted(es)
+
+
+def test_char_tokenizer_identity_offsets_and_unk():
+    """T3 CNerTokenizer semantics: identity offset map, OOV -> [UNK]
+    with offsets preserved, lower-case moves tokens not offsets, and
+    text[s:e] always recovers the original char."""
+    from theta_spark.operators.hf_bridge import CharTokenizer
+
+    text = "aB 9"
+    toks, s, e = CharTokenizer().tokenize_with_offsets(text)
+    assert toks == ["a", "B", " ", "9"]
+    assert s == [0, 1, 2, 3] and e == [1, 2, 3, 4]
+    assert [text[a:b] for a, b in zip(s, e)] == list(text)
+
+    toks, s, e = CharTokenizer(do_lower_case=True).tokenize_with_offsets(text)
+    assert toks == ["a", "b", " ", "9"] and s == [0, 1, 2, 3]
+
+    toks, s, e = CharTokenizer(vocab={"a", "b", "9"}, do_lower_case=True).tokenize_with_offsets(text)
+    assert toks == ["a", "b", "[UNK]", "9"]
+    assert s == [0, 1, 2, 3]  # UNK keeps its identity offsets
+
+
+def test_char_tokenizer_batch_and_truncation():
+    from theta_spark.operators.hf_bridge import CharTokenizer
+
+    out = CharTokenizer(max_length=3).tokenize_batch(["abcdef", "x"])
+    assert out[0] == (["a", "b", "c"], [0, 1, 2], [1, 2, 3])
+    assert out[1] == (["x"], [0], [1])

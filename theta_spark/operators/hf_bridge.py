@@ -119,3 +119,43 @@ class HFTokenizerAdapter:
                 positions.append(pos)
             out.append((list(ids), tokens, starts, ends, positions))
         return out
+
+
+class CharTokenizer:
+    """T3 (theta/nlp/tokenizers/huggingface_tokenizer.py:140-171,
+    CNerTokenizer): char-level tokenization — every character is one
+    token, so the offset map is the identity (starts=i, ends=i+1), the
+    degenerate case of the T1 contract. Faithful to the reference's
+    rules:
+
+    - `do_lower_case` lowers the TOKEN string only; offsets never move;
+    - a char outside `vocab` surfaces as '[UNK]' (the reference's OOV
+      substitution) but KEEPS its identity offsets — harmless to the
+      engine's span decode, which reads text[s:e] by construction and
+      never the token string;
+    - `vocab=None` disables the OOV rule (identity tokens), the
+      English/code default where the char alphabet IS the vocab.
+
+    Same `tokenize_with_offsets` / `tokenize_batch` surface as
+    HFTokenizerAdapter, so it plugs into the same batched scoring stage.
+    """
+
+    def __init__(self, vocab=None, do_lower_case: bool = False, max_length: int = 512):
+        self.vocab = set(vocab) if vocab is not None else None
+        self.do_lower_case = do_lower_case
+        self.max_length = max_length
+
+    def tokenize_with_offsets(self, text: str):
+        tokens, starts, ends = [], [], []
+        for i, c in enumerate(text[: self.max_length]):
+            if self.do_lower_case:
+                c = c.lower()
+            if self.vocab is not None and c not in self.vocab:
+                c = "[UNK]"
+            tokens.append(c)
+            starts.append(i)
+            ends.append(i + 1)
+        return tokens, starts, ends
+
+    def tokenize_batch(self, texts: list) -> list:
+        return [self.tokenize_with_offsets(t) for t in texts]
