@@ -79,3 +79,24 @@ def test_triple_set_prf(spark):
     r = triple_set_prf(a, b).collect()[0]
     assert (r.tp, r.fp, r.fn) == (1, 1, 1)
     assert r.precision_v == 0.5 and r.recall_v == 0.5 and r.f1 == 0.5
+
+
+def test_cohens_kappa_hand_computed(spark):
+    """Textbook 2x2 case and the degenerate constant-annotator cases."""
+    from theta_spark.metrics import cohens_kappa
+
+    # classic example: a=[y x20, n x5 | y x10, n x15] -> po=.7, pe=.5, k=.4
+    rows = (
+        [("y", "y")] * 20 + [("y", "n")] * 5 + [("n", "y")] * 10 + [("n", "n")] * 15
+    )
+    df = spark.createDataFrame(rows, "a string, b string")
+    r = cohens_kappa(df, "a", "b").collect()[0]
+    assert (r.n, r.n_agree, r.po, r.pe, r.kappa) == (50, 35, 0.7, 0.5, 0.4)
+
+    # both constant + full agreement: pe saturates -> kappa 1.0
+    same = spark.createDataFrame([("x", "x")] * 9, "a string, b string")
+    assert cohens_kappa(same, "a", "b").collect()[0].kappa == 1.0
+    # disjoint constant annotators: no marginal overlap, s=0 -> kappa 0.0
+    diff = spark.createDataFrame([("x", "y")] * 9, "a string, b string")
+    r2 = cohens_kappa(diff, "a", "b").collect()[0]
+    assert (r2.n_agree, r2.kappa) == (0, 0.0)

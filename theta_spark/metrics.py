@@ -133,3 +133,55 @@ def triple_set_prf(pred: DataFrame, gold: DataFrame) -> DataFrame:
         [(tp, n_pred - tp, n_gold - tp, round(prec, 6), round(rec, 6), round(f1, 6))],
         "tp long, fp long, fn long, precision_v double, recall_v double, f1 double",
     )
+
+
+def cohens_kappa(df: DataFrame, a_col: str, b_col: str) -> DataFrame:
+    """Cohen's kappa between two labelings of the same rows — the
+    annotation-QC / label-drift metric (e.g. declared metadata vs a
+    heuristic re-classifier). One row: (n, n_agree, po, pe, kappa).
+
+    Integer-exact core: with diag = Σ agreements and S = Σ_l row_l·col_l
+    (the chance-agreement mass),
+
+        kappa = (n·diag − S) / (n² − S)
+
+    — every term an exact i64 product/sum, ONE float division at the end
+    (po = diag/n and pe = S/n² likewise single divisions), so the result
+    is bit-identical across engines and partitionings. When n² == S
+    (chance agreement saturates: both annotators constant), kappa
+    degenerates to 1.0 on full agreement else 0.0.
+
+    Scale shape: one (a, b) groupBy over the pair stream, then joins
+    over the tiny per-label marginals — contingency state is O(labels²),
+    never O(rows).
+    """
+    pairs = df.select(F.col(a_col).alias("a"), F.col(b_col).alias("b"))
+    cont = pairs.groupBy("a", "b").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    tot = cont.agg(
+        F.sum("c").cast("long").alias("n"),
+        F.sum(F.when(F.col("a") == F.col("b"), F.col("c")).otherwise(0))
+        .cast("long")
+        .alias("diag"),
+    )
+    ra = cont.groupBy(F.col("a").alias("lbl")).agg(F.sum("c").cast("long").alias("ra"))
+    cb = cont.groupBy(F.col("b").alias("lbl")).agg(F.sum("c").cast("long").alias("cb"))
+    s = (
+        ra.join(cb, "lbl")
+        .agg(F.coalesce(F.sum(F.col("ra") * F.col("cb")), F.lit(0)).cast("long").alias("s"))
+    )
+    num = F.col("n") * F.col("diag") - F.col("s")
+    den = F.col("n") * F.col("n") - F.col("s")
+    return (
+        tot.crossJoin(F.broadcast(s))
+        .select(
+            "n",
+            F.col("diag").alias("n_agree"),
+            F.round(F.col("diag") / F.col("n"), 6).alias("po"),
+            F.round(F.col("s") / (F.col("n") * F.col("n")), 6).alias("pe"),
+            F.round(
+                F.when(den != 0, num / den)
+                .otherwise(F.when(F.col("diag") == F.col("n"), 1.0).otherwise(0.0)),
+                6,
+            ).alias("kappa"),
+        )
+    )

@@ -3241,3 +3241,117 @@ def t_group_sample(spark, sf_dir):
         )
         .orderBy("lang")
     )
+
+
+@query(
+    "t_vocab_profile",
+    r"""
+    WITH toks AS (
+      SELECT unnest(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                    x -> x != '')) AS token
+      FROM documents
+    ), vocab AS (
+      SELECT token, COUNT(*)::BIGINT AS freq FROM toks GROUP BY token
+    ), tot AS (SELECT SUM(freq)::BIGINT AS total FROM vocab),
+    top AS (
+      SELECT token, freq,
+             ROW_NUMBER() OVER (ORDER BY freq DESC, token) AS rank
+      FROM vocab ORDER BY freq DESC, token LIMIT 20
+    )
+    SELECT rank, token, freq,
+           ROUND(freq::DOUBLE / total, 6) AS share
+    FROM top CROSS JOIN tot ORDER BY rank
+    """,
+)
+def t_vocab_profile(spark, sf_dir):
+    """Zipf vocabulary profile: top-20 tokens by corpus frequency with
+    deterministic (freq DESC, token) rank and corpus share — the vocab
+    health check before tokenizer training. One wordcount shuffle
+    (map-side partial counts) + TakeOrderedAndProject top-20; the rank
+    is a triangular join over the 20-row cut (NO unpartitioned window —
+    the global sort never materializes past the per-partition heads),
+    and total mass is a broadcast 1-row agg."""
+    toks = _load(spark, sf_dir, "documents").select(
+        F.explode(
+            F.filter(F.split(F.trim(F.lower(F.col("text"))), r"\s+"), lambda t: t != "")
+        ).alias("token")
+    )
+    vocab = toks.groupBy("token").agg(F.count(F.lit(1)).cast("long").alias("freq"))
+    top = vocab.orderBy(F.desc("freq"), "token").limit(20)
+    tot = vocab.agg(F.sum("freq").cast("long").alias("total"))
+    ranked = (
+        top.alias("a")
+        .join(
+            top.alias("b"),
+            (F.col("b.freq") > F.col("a.freq"))
+            | ((F.col("b.freq") == F.col("a.freq")) & (F.col("b.token") < F.col("a.token"))),
+            "left",
+        )
+        .groupBy(F.col("a.token").alias("token"), F.col("a.freq").alias("freq"))
+        .agg((F.count(F.col("b.token")) + 1).cast("long").alias("rank"))
+    )
+    return (
+        ranked.crossJoin(F.broadcast(tot))
+        .select(
+            "rank", "token", "freq",
+            F.round(F.col("freq") / F.col("total"), 6).alias("share"),
+        )
+        .orderBy("rank")
+    )
+
+
+@query(
+    "a_kappa_langid",
+    r"""
+    WITH t AS (
+      SELECT lang AS a,
+             CASE WHEN (CASE WHEN length(text) > 0
+                        THEN (length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')))::DOUBLE / length(text)
+                        ELSE 0.0 END) >= 0.4
+                   AND (CASE WHEN len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), x -> x != '')) > 0
+                        THEN len(list_filter(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), x -> x != ''),
+                                 x -> list_contains(['the','a','an','and','or','of','to','in','is','it'], x)))::DOUBLE
+                             / len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), x -> x != ''))
+                        ELSE 0.0 END) > 0
+             THEN 'en'
+             WHEN (CASE WHEN length(text) > 0
+                   THEN (length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')))::DOUBLE / length(text)
+                   ELSE 0.0 END) >= 0.4
+             THEN 'other_latin'
+             ELSE 'non_latin' END AS b
+      FROM documents
+    ), cont AS (
+      SELECT a, b, COUNT(*)::BIGINT AS c FROM t GROUP BY a, b
+    ), tot AS (
+      SELECT SUM(c)::BIGINT AS n,
+             SUM(CASE WHEN a = b THEN c ELSE 0 END)::BIGINT AS diag
+      FROM cont
+    ), ra AS (SELECT a AS lbl, SUM(c)::BIGINT AS ra FROM cont GROUP BY a),
+    cb AS (SELECT b AS lbl, SUM(c)::BIGINT AS cb FROM cont GROUP BY b),
+    s AS (
+      SELECT COALESCE(SUM(ra.ra * cb.cb), 0)::BIGINT AS s
+      FROM ra JOIN cb ON ra.lbl = cb.lbl
+    )
+    SELECT n, diag AS n_agree,
+           ROUND(diag::DOUBLE / n, 6) AS po,
+           ROUND(s::DOUBLE / (n * n), 6) AS pe,
+           ROUND(CASE WHEN (n * n - s) <> 0
+                      THEN (n * diag - s)::DOUBLE / (n * n - s)
+                      WHEN diag = n THEN 1.0 ELSE 0.0 END, 6) AS kappa
+    FROM tot CROSS JOIN s
+    """,
+)
+def a_kappa_langid(spark, sf_dir):
+    """Cohen's kappa (metrics.py cohens_kappa) between the documents
+    table's DECLARED lang and the heuristic lang_id re-classifier — the
+    annotation-QC / metadata-drift check. Integer-exact contingency
+    (kappa = (n·diag − Σr·c)/(n² − Σr·c), one float division), O(labels²)
+    state. Low kappa here is the honest answer: declared labels span 5
+    languages, the heuristic only 3 coarse classes."""
+    from theta_spark.functions.text import lang_id
+    from theta_spark.metrics import cohens_kappa
+
+    d = _load(spark, sf_dir, "documents").select(
+        "lang", lang_id(F.col("text")).alias("lang_pred")
+    )
+    return cohens_kappa(d, "lang", "lang_pred")
