@@ -151,8 +151,9 @@ def test_repetition_stats_hand_computed(spark):
 
 
 def test_redact_pii_hand_cases(spark):
-    """Counts on the original text (order-independent), sentinels applied
-    email-first; IP octets never count as id runs; 8-digit runs pass."""
+    """Counts reconcile with sentinels (each count taken on the text its
+    pass sees): a digit run inside an email counts once as email, never
+    as id; IP octets never count as id runs; 8-digit runs pass."""
     from theta_spark.functions.text import redact_pii
 
     rows = [
@@ -161,6 +162,9 @@ def test_redact_pii_hand_cases(spark):
         (3, "short 12345678 ok"),          # 8 digits: NOT an id run
         (4, "nested user99@ex.com 4111111111111111"),
         (5, "clean text"),
+        # 9-digit local part: email consumes it; n_idnum stays 0 so the
+        # counts match the sentinels in `redacted`
+        (6, "contact 123456789@example.com"),
     ]
     df = spark.createDataFrame(rows, "doc_id long, text string")
     got = {r.doc_id: (r.n_email, r.n_ipv4, r.n_idnum, r.redacted)
@@ -171,3 +175,8 @@ def test_redact_pii_hand_cases(spark):
     assert got[3] == (0, 0, 0, "short 12345678 ok")
     assert got[4] == (1, 0, 1, "nested <EMAIL> <ID>")
     assert got[5] == (0, 0, 0, "clean text")
+    assert got[6] == (1, 0, 0, "contact <EMAIL>")
+    for r in redact_pii(df).collect():
+        assert r.redacted.count("<EMAIL>") == r.n_email
+        assert r.redacted.count("<IP>") == r.n_ipv4
+        assert r.redacted.count("<ID>") == r.n_idnum

@@ -497,3 +497,24 @@ def test_hits_overflow_guard_and_empty(spark):
         hits(e, iters=200)
     empty = spark.createDataFrame([], "src: long, dst: long")
     assert hits(empty, iters=3).count() == 0
+
+
+def test_bfs_distances_string_keyed_graph(spark):
+    """The KG's node ids are strings — bfs must stay id-type-agnostic
+    (review r5: a long cast nulled string keys into an empty frontier)."""
+    from theta_spark.functions.graph import bfs_distances
+
+    e = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d")], "src string, dst string"
+    )
+    seeds = spark.createDataFrame([("a",)], "node string")
+    got = {r.node: r.dist for r in bfs_distances(e, seeds, rounds=2).collect()}
+    assert got == {"a": 0, "b": 1, "c": 2}
+
+
+def test_hits_rejects_zero_iters(spark):
+    from theta_spark.functions.graph import hits
+
+    e = spark.createDataFrame([(1, 2)], "src long, dst long")
+    with pytest.raises(ValueError, match="iters"):
+        hits(e, iters=0)

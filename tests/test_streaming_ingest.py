@@ -170,9 +170,9 @@ def test_compact_epochs_preserves_registry_resolution_and_delta(spark, tmp_path)
     assert stats["removed_dirs"] > 0
 
     # O(1) directories: exactly the two base slots (registry) / one (rows)
-    assert _registry_epoch_dirs(out, "scored_docs") == ["epoch=16", "epoch=17"]
-    assert _registry_epoch_dirs(out, "mentions") == ["epoch=17"]
-    assert _registry_epoch_dirs(out, "triples") == ["epoch=17"]
+    assert _registry_epoch_dirs(spark, out, "scored_docs") == ["epoch=16", "epoch=17"]
+    assert _registry_epoch_dirs(spark, out, "mentions") == ["epoch=17"]
+    assert _registry_epoch_dirs(spark, out, "triples") == ["epoch=17"]
 
     assert resolved(out) == before_resolved
     assert pairs(out) == before_pairs
@@ -202,7 +202,7 @@ def test_compact_epochs_preserves_registry_resolution_and_delta(spark, tmp_path)
 
     # recompacting with a higher floor folds the base again
     compact_epochs(spark, out, floor=19)
-    assert _registry_epoch_dirs(out, "scored_docs") == ["epoch=17", "epoch=18"]
+    assert _registry_epoch_dirs(spark, out, "scored_docs") == ["epoch=17", "epoch=18"]
     assert resolved(out) == resolved(control)
     assert pairs(out) == pairs(control)
 

@@ -121,7 +121,10 @@ def _simhash64_batch(texts: pd.Series) -> pd.Series:
     # counts with one (256 x 8) table matmul per byte position.
     # acc_bit = (+1)*set + (-1)*(len-set) = 2*set_count - n_tokens, and the
     # simhash bit is acc_bit > 0 — identical to summing per-token signs.
-    occ_bytes = hashes[inv].view(np.uint8).reshape(-1, 8)  # LE: col j = bits 8j..8j+7
+    # force little-endian layout BEFORE the byte view so column j is bits
+    # 8j..8j+7 on any host (a plain .view would invert the mapping on a
+    # big-endian platform and silently diverge from the oracle)
+    occ_bytes = hashes[inv].astype("<u8").view(np.uint8).reshape(-1, 8)
     occ_rows = np.repeat(np.arange(n), lens)
     bit_tab = ((np.arange(256)[:, None] >> np.arange(8)[None, :]) & 1).astype(np.int64)
     set_cnt = np.empty((n, 64), dtype=np.int64)

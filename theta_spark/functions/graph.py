@@ -549,11 +549,14 @@ def bfs_distances(
     skew-split. Deep `rounds` → `checkpoint_every` bounds lineage the
     same way pagerank/coreness do (bit-unobservable: the arithmetic is
     partitioning-invariant)."""
-    dist = seeds.select(F.col("node").cast("long").alias("node")).distinct().withColumn(
+    # id-type-agnostic like every other op here: node ids join on their
+    # own type (the KG's ids are STRINGS — a long cast would null them
+    # out and silently return an empty frontier)
+    dist = seeds.select(F.col("node").alias("node")).distinct().withColumn(
         "dist", F.lit(0).cast("int")
     )
     frontier = dist
-    e = edges.select(F.col(src).cast("long").alias("src"), F.col(dst).cast("long").alias("dst"))
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
     for r in range(1, rounds + 1):
         reached = (
             frontier.join(e, frontier["node"] == e["src"])
@@ -600,6 +603,8 @@ def hits(
     grow at most like (max_in·max_out)^iters, and the guard refuses
     iteration counts that could leave i64 rather than wrapping silently.
     """
+    if iters < 1:
+        raise ValueError("hits: iters must be >= 1")
     e = edges.select(src, dst).distinct().localCheckpoint(eager=False)
     nodes = graph_nodes(e, src, dst).localCheckpoint(eager=False)
     deg = degree_stats(e, src, dst)

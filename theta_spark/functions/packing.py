@@ -15,7 +15,7 @@ naive global cumsum (pytest-pinned).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from theta_spark.functions.text import token_count
@@ -43,27 +43,18 @@ def pack_sequences(
     buckets). No unpartitioned window, no collect, no shuffle of the
     doc rows beyond the bucket cumsum.
     """
+    from theta_spark.prefix import two_phase_cumsum
+
     d = docs.select(
         F.col(id_col), token_count(F.col(text_col)).cast("long").alias("n_tokens")
     ).withColumn("bkt", F.expr(f"{id_col} div {int(bucket_width)}"))
-    w_in = Window.partitionBy("bkt").orderBy(id_col)
-    d = d.withColumn(
-        "cum_in", F.sum("n_tokens").over(w_in.rowsBetween(Window.unboundedPreceding, 0))
-    )
-    totals = d.groupBy("bkt").agg(F.sum("n_tokens").alias("bt"))
-    offs = (
-        totals.alias("a")
-        .join(totals.alias("b"), F.col("b.bkt") < F.col("a.bkt"), "left")
-        .groupBy(F.col("a.bkt").alias("bkt"))
-        .agg(F.coalesce(F.sum("b.bt"), F.lit(0)).alias("off"))
-    )
+    cum = two_phase_cumsum(d, "n_tokens", id_col, "bkt")
     w = int(window)
     return (
-        d.join(F.broadcast(offs), "bkt")
-        .select(
+        cum.select(
             id_col,
             "n_tokens",
-            (F.col("off") + F.col("cum_in") - F.col("n_tokens")).alias("start_tok"),
+            (F.col("_cum") - F.col("n_tokens")).alias("start_tok"),
         )
         .select(
             id_col,

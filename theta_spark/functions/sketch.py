@@ -121,20 +121,27 @@ def cms_sketch(
     REGARDLESS of stream size, counts are exact integer sums, and two
     sketches merge by bucket-wise ADD — the deterministic twin of the
     streaming frequency sketch. Hash j of key = md5-draw(key, 'cms<j>')
-    % w, the same replayable-draw convention as sampling/augment."""
-    rows = None
+    % w, the same replayable-draw convention as sampling/augment.
+
+    ONE pass over the input: the d buckets ride as an array column and
+    posexplode (a union of d per-row selects would scan the stream d
+    times — at the scale this sketch exists for, the extra scans are
+    the dominant cost)."""
     wcol = F.col(weight_col) if weight_col else F.lit(1)
-    for j in range(d):
-        r = df.select(
-            F.lit(j).alias("row_j"),
-            (_draw32(F.col(key_col), f"cms{j}", 0) % w).alias("bucket"),
-            wcol.alias("w_"),
-        )
-        rows = r if rows is None else rows.unionByName(r)
+    rows = df.select(
+        F.posexplode(_cms_buckets(F.col(key_col), d, w)).alias("row_j", "bucket"),
+        wcol.alias("w_"),
+    )
     return (
         rows.groupBy("row_j", "bucket")
         .agg(F.sum("w_").cast("long").alias("cnt"))
     )
+
+
+def _cms_buckets(key, d: int, w: int):
+    """Array column [bucket_0 .. bucket_{d-1}] for one key — position j
+    is md5-draw(key, 'cms<j>') % w."""
+    return F.array(*[(_draw32(key, f"cms{j}", 0) % w) for j in range(d)])
 
 
 def cms_heavy_hitters(
@@ -155,15 +162,11 @@ def cms_heavy_hitters(
     exact = df.groupBy(F.col(key_col).alias("key")).agg(
         F.count(F.lit(1)).cast("long").alias("exact")
     )
-    probes = None
-    for j in range(d):
-        p = exact.select(
-            "key",
-            "exact",
-            F.lit(j).alias("row_j"),
-            (_draw32(F.col("key"), f"cms{j}", 0) % w).alias("bucket"),
-        )
-        probes = p if probes is None else probes.unionByName(p)
+    probes = exact.select(
+        "key",
+        "exact",
+        F.posexplode(_cms_buckets(F.col("key"), d, w)).alias("row_j", "bucket"),
+    )
     est = (
         probes.join(F.broadcast(sk), ["row_j", "bucket"])
         .groupBy("key", "exact")

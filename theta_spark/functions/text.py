@@ -267,27 +267,25 @@ PII_IDNUM = r"\b\d{9,19}\b"
 def redact_pii(df, text_col: str = "text"):
     """PII scrub — the pre-training compliance sweep: count and mask
     emails, IPv4 addresses, and long id-like digit runs (9-19 digits:
-    SSNs, account and card numbers). Adds `n_email`, `n_ipv4`,
-    `n_idnum` (counted on the ORIGINAL text, so counts are
-    order-independent) and `redacted` (sentinels <EMAIL>, <IP>, <ID>,
-    applied in that order — email first so its digits never
-    double-count as ids).
+    SSNs, account and card numbers). Sentinels <EMAIL>, <IP>, <ID> are
+    applied in that order, and each count is taken on the text AS THE
+    CORRESPONDING PASS SEES IT (email on the original, ipv4 on the
+    email-masked text, idnum on the email+ip-masked text) — so every
+    count equals the number of its sentinels in `redacted` and a digit
+    run inside an email local-part is counted once as email, never
+    again as an id.
 
     Scale shape: pure per-row column expressions (regexp_count /
     regexp_replace) — whole-stage codegen, no UDF, no shuffle; at
     100 TB this is scan-bound, exactly as a scrub should be."""
     c = F.col(text_col)
+    after_email = F.regexp_replace(c, PII_EMAIL, "<EMAIL>")
+    after_ip = F.regexp_replace(after_email, PII_IPV4, "<IP>")
     return df.withColumns(
         {
             "n_email": F.regexp_count(c, F.lit(PII_EMAIL)).cast("long"),
-            "n_ipv4": F.regexp_count(c, F.lit(PII_IPV4)).cast("long"),
-            "n_idnum": F.regexp_count(c, F.lit(PII_IDNUM)).cast("long"),
-            "redacted": F.regexp_replace(
-                F.regexp_replace(
-                    F.regexp_replace(c, PII_EMAIL, "<EMAIL>"), PII_IPV4, "<IP>"
-                ),
-                PII_IDNUM,
-                "<ID>",
-            ),
+            "n_ipv4": F.regexp_count(after_email, F.lit(PII_IPV4)).cast("long"),
+            "n_idnum": F.regexp_count(after_ip, F.lit(PII_IDNUM)).cast("long"),
+            "redacted": F.regexp_replace(after_ip, PII_IDNUM, "<ID>"),
         }
     )

@@ -76,6 +76,8 @@ def vocab_index(docs: DataFrame, text_col: str = "text", bucket_chars: int = 2) 
     lo/hi stay INTEGER sums until the final division, so the result is
     bit-identical to the single-window formula (and to the DuckDB oracle).
     """
+    from theta_spark.prefix import two_phase_cumsum
+
     vocab = (
         docs.select(F.explode(F.array_distinct(F.split(F.col(text_col), " "))).alias("token"))
         .where(F.col("token") != "")
@@ -83,25 +85,14 @@ def vocab_index(docs: DataFrame, text_col: str = "text", bucket_chars: int = 2) 
         .agg(F.count("*").alias("dfreq"))
         .withColumn("bkt", F.substring("token", 1, bucket_chars))
     )
-    w_in = Window.partitionBy("bkt").orderBy("token")
-    vocab = vocab.withColumn(
-        "cum_in", F.sum("dfreq").over(w_in.rowsBetween(Window.unboundedPreceding, 0))
-    )
-    totals = vocab.groupBy("bkt").agg(F.sum("dfreq").alias("bt"))
-    offs = (
-        totals.alias("a")
-        .join(totals.alias("b"), F.col("b.bkt") < F.col("a.bkt"), "left")
-        .groupBy(F.col("a.bkt").alias("bkt"))
-        .agg(F.coalesce(F.sum("b.bt"), F.lit(0)).alias("off"))
-    )
-    grand = totals.agg(F.sum("bt").alias("grand"))
+    cum = two_phase_cumsum(vocab, "dfreq", "token", "bkt")
+    grand = vocab.agg(F.sum("dfreq").alias("grand"))
     return (
-        vocab.join(F.broadcast(offs), "bkt")
-        .crossJoin(F.broadcast(grand))
+        cum.crossJoin(F.broadcast(grand))
         .select(
             "token",
-            ((F.col("off") + F.col("cum_in") - F.col("dfreq")) / F.col("grand")).alias("lo"),
-            ((F.col("off") + F.col("cum_in")) / F.col("grand")).alias("hi"),
+            ((F.col("_cum") - F.col("dfreq")) / F.col("grand")).alias("lo"),
+            (F.col("_cum") / F.col("grand")).alias("hi"),
         )
     )
 

@@ -3068,17 +3068,25 @@ def t_pack_sequences(spark, sf_dir):
                   THEN ' acct 4111111111111111' ELSE '' END AS text
       FROM documents
     )
+    , masked AS (
+      SELECT doc_id, text,
+             regexp_replace(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g')
+               AS after_email
+      FROM aug
+    ), masked2 AS (
+      SELECT *, regexp_replace(after_email,
+               '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS after_ip
+      FROM masked
+    )
     SELECT doc_id,
            len(regexp_extract_all(text,
                '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))::BIGINT AS n_email,
-           len(regexp_extract_all(text,
+           len(regexp_extract_all(after_email,
                '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b'))::BIGINT AS n_ipv4,
-           len(regexp_extract_all(text, '\b\d{9,19}\b'))::BIGINT AS n_idnum,
-           regexp_replace(regexp_replace(regexp_replace(text,
-               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
-               '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
-               '\b\d{9,19}\b', '<ID>', 'g') AS redacted
-    FROM aug ORDER BY doc_id
+           len(regexp_extract_all(after_ip, '\b\d{9,19}\b'))::BIGINT AS n_idnum,
+           regexp_replace(after_ip, '\b\d{9,19}\b', '<ID>', 'g') AS redacted
+    FROM masked2 ORDER BY doc_id
     """,
 )
 def t_pii_redact(spark, sf_dir):

@@ -69,18 +69,34 @@ def _read_stage_parquet(spark: SparkSession, out_dir: str, stage: str) -> DataFr
         return spark.read.schema(STAGE_SCHEMAS[stage]).parquet(path)
 
 
-def _registry_epoch_dirs(out_dir: str, stage: str = "scored_docs") -> list[str]:
+def _fs_for(spark: SparkSession, path_str: str):
+    """(Hadoop FileSystem, Path) for any URI the cluster can reach —
+    file:, hdfs:, s3a:, ... A bare local path resolves against the
+    default FS exactly as Spark's own readers do."""
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path_str)
+    return p.getFileSystem(spark._jsc.hadoopConfiguration()), p
+
+
+def _registry_epoch_dirs(
+    spark: SparkSession, out_dir: str, stage: str = "scored_docs"
+) -> list[str]:
     """The stage's epoch=<id> directories (empty list when the stage does
     not exist yet). Listing explicitly — rather than catching a broad read
     exception — keeps 'first epoch' distinct from 'registry unreadable'
     (ADVICE r4: a corrupt/unreadable registry must PROPAGATE, not silently
-    degrade into a score-everything epoch that masks the real error)."""
-    root = os.path.join(out_dir, stage)
-    if not os.path.isdir(root):
+    degrade into a score-everything epoch that masks the real error).
+    Listed through the Hadoop FileSystem API, NOT os.listdir, so the
+    module keeps working when out_dir is hdfs://... or s3a://... (an
+    os-based listing would read every remote registry as absent and
+    silently re-score the full corpus each epoch — review r5)."""
+    fs, root = _fs_for(spark, os.path.join(out_dir, stage))
+    if not fs.exists(root):
         return []
     return sorted(
-        d for d in os.listdir(root)
-        if d.startswith("epoch=") and os.path.isdir(os.path.join(root, d))
+        st.getPath().getName()
+        for st in fs.listStatus(root)
+        if st.isDirectory() and st.getPath().getName().startswith("epoch=")
     )
 
 
@@ -88,7 +104,7 @@ def _prior_registry(spark: SparkSession, out_dir: str, epoch_id: int) -> DataFra
     """(doc_id, sha256) scored by epochs < epoch_id, or None on the first
     epoch. Reading strictly-below epochs is what makes a crash-replayed
     epoch recompute the SAME delta it computed the first time."""
-    if not _registry_epoch_dirs(out_dir):
+    if not _registry_epoch_dirs(spark, out_dir):
         return None  # first epoch: no registry yet
     reg = _read_stage_parquet(spark, out_dir, "scored_docs")
     return reg.where(F.col("epoch") < F.lit(epoch_id)).select("doc_id", "sha256")
@@ -239,17 +255,32 @@ def compact_epochs(spark: SparkSession, out_dir: str, floor: int) -> dict:
     the delta any epoch >= floor computes (base epochs B-1, B < floor <=
     epoch_id, so strictly-below filters see the same pair set).
 
-    Crash safety: compacted frames are materialized eagerly BEFORE any
-    directory is overwritten (epoch=B / B-1 are also read inputs); a crash
-    between the writes and the deletes leaves duplicate rows in the old
-    dirs, which both consumers tolerate (the registry anti-join is
-    pair-distinct; resolution takes per-doc max epoch = B) and a re-run
-    converges to the same base. Epochs >= floor are never touched."""
-    import shutil
-
+    Crash safety: compacted frames are first written to a DURABLE temp
+    dir beside the stages (the same discipline as
+    pipeline.rewrite_stage_full — NOT a localCheckpoint, whose blocks
+    die with the process/executor and would leave the overwritten input
+    dirs unrecoverable; review r5), and the epoch=B / B-1 slots (which
+    are also read inputs) are rewritten only from that durable copy. A
+    crash before the final writes leaves the originals intact (orphan
+    temps are overwritten on re-run); a crash between the writes and the
+    deletes leaves duplicate rows in the old dirs, which both consumers
+    tolerate (the registry anti-join is pair-distinct; resolution takes
+    per-doc max epoch) and a re-run converges to the same base. Epochs
+    >= floor are never touched."""
     if floor < 2:
         raise ValueError("compaction needs two base slots: floor must be >= 2")
     base, hist = floor - 1, floor - 2
+
+    tmp_root = f"{out_dir}/__compact_tmp"
+
+    def _durable(df, name):
+        """Materialize to durable parquet under the temp root; hand back a
+        reader pinned to the frame's schema (an empty frame writes only
+        _SUCCESS — inference would fail)."""
+        path = f"{tmp_root}/{name}"
+        schema = df.schema
+        df.write.mode("overwrite").parquet(path)
+        return spark.read.schema(schema).parquet(path)
 
     reg = (
         _read_stage_parquet(spark, out_dir, "scored_docs")
@@ -261,13 +292,13 @@ def compact_epochs(spark: SparkSession, out_dir: str, floor: int) -> dict:
         .where(F.col("epoch") == F.col("_mx"))
         .select("doc_id", "sha256")
         .distinct()
-        .localCheckpoint(eager=True)
     )
-    hist_pairs = (
+    latest = _durable(latest, "latest")
+    hist_pairs = _durable(
         reg.select("doc_id", "sha256")
         .distinct()
-        .join(latest, ["doc_id", "sha256"], "left_anti")
-        .localCheckpoint(eager=True)
+        .join(latest, ["doc_id", "sha256"], "left_anti"),
+        "hist_pairs",
     )
     latest_epochs = reg.groupBy("doc_id").agg(F.max("epoch").alias("epoch"))
 
@@ -279,21 +310,22 @@ def compact_epochs(spark: SparkSession, out_dir: str, floor: int) -> dict:
             .join(latest_epochs, ["doc_id", "epoch"], "left_semi")
             .drop("epoch")
         )
-        kept_rows[stage] = rows.localCheckpoint(eager=True)
+        kept_rows[stage] = _durable(rows, f"kept_{stage}")
 
     # HLL registers fold by max-merge: one epoch=base register table
     # replaces all below-floor epochs (registers are a union sketch —
     # merging loses nothing, and duplicates from a crash between the
     # write and the deletes below are absorbed by the read-time max)
     hll_base = None
-    if os.path.isdir(os.path.join(out_dir, "hll_versions")):
+    _hll_fs, _hll_root = _fs_for(spark, os.path.join(out_dir, "hll_versions"))
+    if _hll_fs.exists(_hll_root):
         hll_base = (
             spark.read.parquet(f"{out_dir}/hll_versions")
             .where(F.col("epoch") < F.lit(floor))
             .groupBy("idx")
             .agg(F.max("mx").alias("mx"))
-            .localCheckpoint(eager=True)
         )
+        hll_base = _durable(hll_base, "hll_base")
 
     # all reads are materialized; now rewrite the base and drop old dirs
     latest.write.mode("overwrite").parquet(f"{out_dir}/scored_docs/epoch={base}")
@@ -307,11 +339,12 @@ def compact_epochs(spark: SparkSession, out_dir: str, floor: int) -> dict:
     sweep = STAGES + (("hll_versions",) if hll_base is not None else ())
     for stage in sweep:
         keep = {f"epoch={base}"} | ({f"epoch={hist}"} if stage == "scored_docs" else set())
-        for d in _registry_epoch_dirs(out_dir, stage):
+        fs, root = _fs_for(spark, os.path.join(out_dir, stage))
+        for d in _registry_epoch_dirs(spark, out_dir, stage):
             if d not in keep and int(d.split("=", 1)[1]) < floor:
-                shutil.rmtree(os.path.join(out_dir, stage, d))
+                fs.delete(spark._jvm.org.apache.hadoop.fs.Path(root, d), True)
                 removed += 1
-    return {
+    stats = {
         "floor": floor,
         "base_epoch": base,
         "hist_epoch": hist,
@@ -319,6 +352,9 @@ def compact_epochs(spark: SparkSession, out_dir: str, floor: int) -> dict:
         "latest_pairs": latest.count(),
         "hist_pairs": hist_pairs.count(),
     }
+    tmp_fs, tmp_path = _fs_for(spark, tmp_root)
+    tmp_fs.delete(tmp_path, True)
+    return stats
 
 
 def finalize_graph(
