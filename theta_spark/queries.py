@@ -3363,3 +3363,46 @@ def a_kappa_langid(spark, sf_dir):
         "lang", lang_id(F.col("text")).alias("lang_pred")
     )
     return cohens_kappa(d, "lang", "lang_pred")
+
+
+@query(
+    "t_bpe_pairs",
+    r"""
+    WITH words AS (
+      SELECT unnest(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                    x -> x != '')) AS word
+      FROM documents
+    ), types AS (
+      SELECT word, COUNT(*)::BIGINT AS wcount FROM words GROUP BY word
+    ), syms AS (
+      SELECT wcount,
+             list_append(list_transform(generate_series(1, length(word)),
+                                        i -> word[i]), '</w>') AS s
+      FROM types
+    ), pairs AS (
+      SELECT wcount,
+             unnest(list_transform(generate_series(1, len(s) - 1),
+                    i -> struct_pack(a := s[i], b := s[i + 1]))) AS p
+      FROM syms
+    )
+    SELECT p.a AS a, p.b AS b, SUM(wcount)::BIGINT AS cnt
+    FROM pairs GROUP BY p.a, p.b
+    ORDER BY cnt DESC, a, b LIMIT 20
+    """,
+)
+def t_bpe_pairs(spark, sf_dir):
+    """BPE tokenizer training, round-1 statistics (functions/bpe.py):
+    adjacent-symbol pair counts over the WORD-TYPE table (types not
+    tokens — the working set is the vocabulary) weighted by corpus
+    count, with the '</w>' end marker; top-20 by (count DESC, pair) —
+    the deterministic winner order the merge loop consumes. One narrow
+    zip_with+explode + one groupBy sum; the full iterative trainer
+    (train_bpe) is pinned against a python replica in tests (its loop is
+    inherently sequential, like pagerank's rounds)."""
+    from theta_spark.functions.bpe import pair_counts, word_types
+
+    return (
+        pair_counts(word_types(_load(spark, sf_dir, "documents")))
+        .orderBy(F.desc("cnt"), "a", "b")
+        .limit(20)
+    )
