@@ -131,3 +131,139 @@ def best_model_selection(
         )
         .drop("_rn", "_stop_rn")
     )
+
+
+# ----------------------------------------------------------------- quality LR
+# Distributed quality-classifier training (the CCNet/fasttext-style "is this
+# document worth keeping" linear filter trained over the corpus itself —
+# GPT-3's quality classifier, CCNet's LM filter). Full-batch gradient
+# descent on a HARD-SIGMOID logistic regression in exact i64 fixed-point:
+#
+#   sigma_h(z) = clamp(z/4 + 1/2, 0, 1)      (piecewise-linear sigmoid)
+#
+# Every quantity is a micro-unit integer (scale QL_S = 1e6) and every
+# division is an explicit FLOOR, so the per-row gradient is an exact i64
+# and the batch gradient is an exact SUM of i64 — associative and
+# therefore BIT-IDENTICAL under any partitioning, AQE re-plan, or
+# executor count. That is what makes distributed training oracle-able:
+# the DuckDB twin unrolls the same iterations in SQL and hash-matches
+# the weight trajectory exactly (no float drift, no reduction-order
+# nondeterminism — the classic reason distributed SGD is untestable).
+#
+# Magnitude bounds (documented so the FLOOR-through-double trick stays
+# exact, |x| < 2^53): features and err are <= QL_S = 1e6; per-row
+# err*m*x_i <= 1e12; the gradient SUM <= n_rows * 1e6 (exact i64 up to
+# ~9e12 docs); w·x <= 4 * |w| * 1e6 — |w| stays < ~1e7 for the shipped
+# lr/iters, asserted at runtime.
+#
+# Scale shape: features are ONE narrow projection of the corpus scan
+# (all JVM built-ins — length/translate/replace arithmetic), persisted
+# once; each GD iteration is ONE scalar aggregate (map-side partial
+# sums, tree-reduce shape, no shuffle of row data) returning 5 i64s to
+# the driver, which updates the 4 weights in exact Python ints. O(iters)
+# actions total, like the Lloyd/PageRank trainers.
+
+QL_S = 1_000_000  # fixed-point scale: 1.0 == 1e6 micro-units
+
+
+def _fdiv(a, b):
+    """Python-`//` floor division as a column op (exact for |a| < 2^53)."""
+    return F.floor(a / b).cast("long")
+
+
+def quality_features(
+    docs: DataFrame,
+    text_col: str = "text",
+    n_chars_col: str = "n_chars",
+    label_threshold: int = 300,
+) -> DataFrame:
+    """Per-doc quality features + label, all exact micro-unit i64.
+
+    x_len   min(n_chars, 1000)/1000      (length, saturated)
+    x_space spaces/n_chars               (whitespace ratio)
+    x_stop  count('the')/(spaces+1)      (stopword-per-word ratio)
+    x_bias  1.0
+    y       1 iff n_chars >= label_threshold (the teachable proxy rule)
+
+    Pure codegen: length/translate/replace + integer floor arithmetic.
+    """
+    s = F.lit(QL_S)
+    nc = F.col(n_chars_col).cast("long")
+    spaces = (
+        F.length(text_col) - F.length(F.translate(F.col(text_col), " ", ""))
+    ).cast("long")
+    cnt_stop = _fdiv(
+        (F.length(text_col) - F.length(F.replace(F.col(text_col), F.lit("the")))).cast("long"),
+        F.lit(3),
+    )
+    return docs.select(
+        _fdiv(F.least(nc, F.lit(1000)) * s, F.lit(1000)).alias("x_len"),
+        _fdiv(spaces * s, F.greatest(nc, F.lit(1))).alias("x_space"),
+        _fdiv(cnt_stop * s, F.greatest(spaces + 1, F.lit(1))).alias("x_stop"),
+        s.cast("long").alias("x_bias"),
+        (nc >= label_threshold).cast("long").alias("y"),
+    )
+
+
+_QL_FEATURE_COLS = ("x_len", "x_space", "x_stop", "x_bias")
+
+
+def train_quality_lr(
+    docs: DataFrame,
+    iters: int = 8,
+    lr_num: int = 6,
+    lr_den: int = 1,
+    label_threshold: int = 300,
+) -> DataFrame:
+    """Train the quality filter; return the exact weight/accuracy history.
+
+    Output: one row per iteration 0..iters with the weights IN FORCE at
+    that step plus that step's training accuracy numerator —
+    (iter, w_len, w_space, w_stop, w_bias, acc_num, n_rows), all i64.
+
+    w_{k+1,i} = w_{k,i} - floor(lr_num * G_i / (lr_den * n)) where
+    G_i = SUM_rows floor(err * m * x_i / S), err = sigma_h(z) - y in
+    micro-units, m = [|z| < 2S] (the hard sigmoid's support), and
+    z = floor(w·x / S).
+    """
+    spark = docs.sparkSession
+    feats = quality_features(docs, label_threshold=label_threshold).persist()
+    n = feats.count()
+    if n == 0:
+        feats.unpersist()
+        return spark.createDataFrame(
+            [],
+            "iter int, w_len long, w_space long, w_stop long, "
+            "w_bias long, acc_num long, n_rows long",
+        )
+    s, half, two_s = QL_S, QL_S // 2, 2 * QL_S
+    w = [0, 0, 0, 0]
+    hist = []
+    for it in range(iters + 1):
+        assert all(abs(wi) < 10**10 for wi in w), "weights out of exactness bound"
+        z = _fdiv(
+            sum(F.lit(wi) * F.col(c) for wi, c in zip(w, _QL_FEATURE_COLS)),
+            F.lit(s),
+        )
+        p = F.least(F.greatest(_fdiv(z, F.lit(4)) + half, F.lit(0)), F.lit(s))
+        err = p - F.col("y") * s
+        m = ((z > -two_s) & (z < two_s)).cast("long")
+        row = feats.agg(
+            *[
+                F.sum(_fdiv(err * m * F.col(c), F.lit(s))).alias(f"g{i}")
+                for i, c in enumerate(_QL_FEATURE_COLS)
+            ],
+            F.sum(((p >= half) == (F.col("y") == 1)).cast("long")).alias("acc"),
+        ).collect()[0]
+        hist.append((it, *w, int(row["acc"]), n))
+        if it < iters:
+            w = [
+                wi - (lr_num * int(row[f"g{i}"])) // (lr_den * n)
+                for i, wi in enumerate(w)
+            ]
+    feats.unpersist()
+    return spark.createDataFrame(
+        hist,
+        "iter int, w_len long, w_space long, w_stop long, "
+        "w_bias long, acc_num long, n_rows long",
+    )

