@@ -415,3 +415,54 @@ def test_semantic_dedup_hand_constructed(spark):
     assert cells[3] != cells[5]
     assert got[3] == (cells[3], 3, 1)
     assert got[5] == (cells[5], 5, 1)
+
+
+def test_pq_encode_fused_cells_equals_join_path(spark):
+    """pq_encode(cents=...) — the one-pass (id, codes, cell) index build —
+    must be bit-identical to encode-then-join-assignment, and
+    assign_cells must reproduce the trainer's own final assignment
+    (shared _chunked_argmax_cells kernel, so this pins the contract)."""
+    from theta_spark.functions.similarity import (
+        assign_cells,
+        kmeans_cells_lloyd,
+        pq_encode,
+        train_pq,
+
+    )
+
+    e = _pq_embeddings(spark, n=40, dim=8)
+    assign, cents = kmeans_cells_lloyd(e, k=3, iters=1)
+    cbs = train_pq(e, m=2, ksub=4, iters=1, dim=8)
+
+    fused = pq_encode(e, cbs, m=2, dim=8, cents=cents)
+    joined = pq_encode(e, cbs, m=2, dim=8).join(assign, on="vec_id")
+    a = sorted((r["vec_id"], tuple(r["codes"]), r["cell"]) for r in fused.collect())
+    b = sorted((r["vec_id"], tuple(r["codes"]), r["cell"]) for r in joined.collect())
+    assert a == b
+
+    ac = sorted((r["vec_id"], r["cell"]) for r in assign_cells(e, cents).collect())
+    tr = sorted((r["vec_id"], r["cell"]) for r in assign.collect())
+    assert ac == tr
+
+
+def test_with_unit_vec_idempotent(spark):
+    from theta_spark.functions.similarity import with_unit_vec
+
+    e = _pq_embeddings(spark, n=5, dim=4)
+    u1 = with_unit_vec(e)
+    u2 = with_unit_vec(u1)
+    assert u2 is u1  # no second normalization layer in the plan
+    assert sorted(tuple(r) for r in u1.collect()) == sorted(tuple(r) for r in u2.collect())
+
+
+def test_assign_cells_keep_unit(spark):
+    from theta_spark.functions.similarity import assign_cells, kmeans_cells_lloyd
+
+    e = _pq_embeddings(spark, n=20, dim=8)
+    _, cents = kmeans_cells_lloyd(e, k=2, iters=1)
+    got = assign_cells(e, cents, keep_unit=True)
+    assert set(got.columns) == {"vec_id", "cell", "unit"}
+    # unit column is the normalized vector (norm 1)
+    import math
+    for r in got.collect():
+        assert math.isclose(sum(x * x for x in r["unit"]), 1.0, rel_tol=1e-9)

@@ -33,7 +33,14 @@ def cosine(a, b):
 
 def with_unit_vec(df: DataFrame, vec_col: str = "embedding", out_col: str = "unit") -> DataFrame:
     """Pre-normalize once so each pair costs one dot product, not two extra
-    norms (norms over the corpus are O(N*d) once instead of O(N*Q*d))."""
+    norms (norms over the corpus are O(N*d) once instead of O(N*Q*d)).
+
+    Idempotent: if `out_col` is already present the frame is returned
+    unchanged, so a caller can normalize (and persist) ONE projection and
+    pass it through every index stage — trainer, encoder, query side —
+    without each stage re-deriving it from the raw vectors."""
+    if out_col in df.columns:
+        return df
     v = F.col(vec_col).cast("array<double>")
     n = _norm(v)
     return df.withColumn(out_col, F.transform(v, lambda x: x / n))
@@ -205,6 +212,31 @@ def _assign_cells_literal(u: DataFrame, cents_) -> DataFrame:
     return scored.select("_vid", "unit", cell.alias("cell"))
 
 
+def _chunked_argmax_cells(m, cells_arr, mat, chunk_k=1024):
+    """Nearest-cell ids for a batch of unit rows `m` (n x dim) against the
+    dim x k centroid matrix `mat` (columns cell-ascending) — the ONE
+    rounding/tie kernel every assignment path shares: dots rounded
+    HALF-UP to 4 decimals, lowest cell wins ties (ascending chunk scan
+    with strict `>` improvement)."""
+    import numpy as np
+
+    best_val = None
+    best_cell = None
+    for s in range(0, mat.shape[1], chunk_k):
+        sims = m @ mat[:, s : s + chunk_k]
+        r = np.floor(np.abs(sims) * 1e4 + 0.5) / 1e4 * np.sign(sims)
+        loc = np.argmax(r, axis=1)  # first (lowest-cell) max within chunk
+        val = r[np.arange(len(r)), loc]
+        cell = cells_arr[s : s + chunk_k][loc]
+        if best_val is None:
+            best_val, best_cell = val, cell
+        else:
+            take = val > best_val  # strict: earlier chunk keeps rounded ties
+            best_val = np.where(take, val, best_val)
+            best_cell = np.where(take, cell, best_cell)
+    return best_cell
+
+
 def _assign_cells_arrow(u: DataFrame, cents_, chunk_k: int = 1024) -> DataFrame:
     """Large-codebook assignment: the codebook is a BROADCAST numpy matrix
     (one copy per executor, not a plan literal), assignment is an Arrow-
@@ -235,24 +267,38 @@ def _assign_cells_arrow(u: DataFrame, cents_, chunk_k: int = 1024) -> DataFrame:
                 yield pd.DataFrame({"_vid": pdf["_vid"], "unit": pdf["unit"], "cell": []})
                 continue
             m = np.asarray(pdf["unit"].tolist(), dtype=np.float64)  # n x dim
-            best_val = None
-            best_cell = None
-            for s in range(0, mat_.shape[1], chunk_k):
-                sims = m @ mat_[:, s : s + chunk_k]
-                r = np.floor(np.abs(sims) * 1e4 + 0.5) / 1e4 * np.sign(sims)
-                loc = np.argmax(r, axis=1)  # first (lowest-cell) max within chunk
-                val = r[np.arange(len(r)), loc]
-                cell = cells_arr_[s : s + chunk_k][loc]
-                if best_val is None:
-                    best_val, best_cell = val, cell
-                else:
-                    take = val > best_val  # strict: earlier chunk keeps rounded ties
-                    best_val = np.where(take, val, best_val)
-                    best_cell = np.where(take, cell, best_cell)
+            best_cell = _chunked_argmax_cells(m, cells_arr_, mat_, chunk_k)
             yield pd.DataFrame({"_vid": pdf["_vid"], "unit": pdf["unit"], "cell": best_cell})
 
     vid_type = dict(u.dtypes)["_vid"]
     return u.mapInPandas(gen, schema=f"_vid {vid_type}, unit array<double>, cell int")
+
+
+def assign_cells(
+    df: DataFrame,
+    cents,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    assign_impl: str = "auto",
+    literal_max_k: int = 16,
+    keep_unit: bool = False,
+) -> DataFrame:
+    """(id, cell[, unit]): nearest-centroid assignment against an
+    already-trained codebook, under the shared rounding/tie contract.
+    Public entry for callers that hold `cents` (e.g. from
+    kmeans_cells_lloyd) and want to assign a DIFFERENT frame — the query
+    side of an IVF index, a fresh delta of vectors — without re-running
+    the trainer's final pass. Same literal/arrow dispatch as the trainer:
+    one scan, zero shuffle. `keep_unit` carries the normalized vector
+    through, so a query side needing (id, unit, cell) is one projection,
+    not an id-self-join."""
+    u = with_unit_vec(df, vec_col).select(F.col(id_col).alias("_vid"), "unit")
+    use_arrow = assign_impl == "arrow" or (
+        assign_impl == "auto" and len(cents) > literal_max_k
+    )
+    out = _assign_cells_arrow(u, cents) if use_arrow else _assign_cells_literal(u, cents)
+    cols = [F.col("_vid").alias(id_col), "cell"] + (["unit"] if keep_unit else [])
+    return out.select(*cols)
 
 
 def kmeans_cells_lloyd(
@@ -448,12 +494,22 @@ def pq_encode(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int = 64,
+    cents=None,
 ) -> DataFrame:
-    """(id, codes array<int>): nearest codeword per subspace — the PQ
-    index build. Codebooks ship as ONE broadcast numpy tensor; each Arrow
-    batch does m small matmuls + argmax. One corpus scan, zero shuffle,
-    O(1) plan columns — the same scale shape as _assign_cells_arrow, and
-    the same rounding/tie semantics (half-up 1e-4, lowest code first)."""
+    """(id, codes array<int>[, cell]): nearest codeword per subspace — the
+    PQ index build. Codebooks ship as ONE broadcast numpy tensor; each
+    Arrow batch does m small matmuls + argmax. One corpus scan, zero
+    shuffle, O(1) plan columns — the same scale shape as
+    _assign_cells_arrow, and the same rounding/tie semantics (half-up
+    1e-4, lowest code first).
+
+    Pass the IVF coarse centroids as `cents` to emit the `cell` column in
+    the SAME Arrow pass (via the shared _chunked_argmax_cells kernel —
+    bit-identical to assign_cells): the full IVF-PQ index row
+    (id, codes, cell) from one corpus scan, where encode-then-join would
+    scan twice and shuffle on id. That join disappearing is the index
+    build's scale win — at 10^9 vectors the id-join is the only shuffle
+    in the whole build."""
     import numpy as np
     import pandas as pd
 
@@ -463,15 +519,24 @@ def pq_encode(
         codes = sorted(c for (ss, c) in cbs if ss == s)
         mat = np.asarray([cbs[(s, c)] for c in codes], dtype=np.float64).T  # w x k_s
         per_sub.append((np.asarray(codes, dtype=np.int64), mat))
-    bc = corpus.sparkSession.sparkContext.broadcast(per_sub)
+    cell_pack = None
+    if cents is not None:
+        cell_pack = (
+            np.asarray([int(c) for c, _ in cents], dtype=np.int64),
+            np.asarray([v for _, v in cents], dtype=np.float64).T,  # dim x k
+        )
+    bc = corpus.sparkSession.sparkContext.broadcast((per_sub, cell_pack))
 
     u = with_unit_vec(corpus, vec_col).select(F.col(id_col).alias("_vid"), "unit")
 
     def gen(batches):
-        subs_ = bc.value
+        subs_, cpack = bc.value
         for pdf in batches:
             if len(pdf) == 0:
-                yield pd.DataFrame({"_vid": pdf["_vid"], "codes": []})
+                out0 = {"_vid": pdf["_vid"], "codes": []}
+                if cpack is not None:
+                    out0["cell"] = []
+                yield pd.DataFrame(out0)
                 continue
             mat_all = np.asarray(pdf["unit"].tolist(), dtype=np.float64)  # n x dim
             out = np.empty((len(pdf), len(subs_)), dtype=np.int64)
@@ -479,12 +544,16 @@ def pq_encode(
                 sims = mat_all[:, s * w : (s + 1) * w] @ cmat
                 r = np.floor(np.abs(sims) * 1e4 + 0.5) / 1e4 * np.sign(sims)
                 out[:, s] = codes_[np.argmax(r, axis=1)]  # first max = lowest code
-            yield pd.DataFrame({"_vid": pdf["_vid"], "codes": list(out)})
+            res = {"_vid": pdf["_vid"], "codes": list(out)}
+            if cpack is not None:
+                res["cell"] = _chunked_argmax_cells(mat_all, cpack[0], cpack[1])
+            yield pd.DataFrame(res)
 
     vid_type = dict(u.dtypes)["_vid"]
-    return u.mapInPandas(gen, schema=f"_vid {vid_type}, codes array<int>").withColumnRenamed(
-        "_vid", id_col
-    )
+    schema = f"_vid {vid_type}, codes array<int>"
+    if cents is not None:
+        schema += ", cell int"
+    return u.mapInPandas(gen, schema=schema).withColumnRenamed("_vid", id_col)
 
 
 def pq_adc_topk(

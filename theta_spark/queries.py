@@ -1902,17 +1902,24 @@ def sim_ivfpq_topk(spark, sf_dir):
     SQL composition of the sim_ivf_kmeans_topk and sim_pq_adc_topk
     oracles — same determinism contract throughout."""
     from theta_spark.functions.similarity import (
+        assign_cells,
         ivfpq_adc_topk,
         kmeans_cells_lloyd,
         pq_encode,
         train_pq,
+        with_unit_vec,
     )
 
     e = _load(spark, sf_dir, "embeddings")
-    assign, _cents = kmeans_cells_lloyd(e, k=4, iters=1)
-    cbs = train_pq(e, m=2, ksub=4, iters=1)
-    enc = pq_encode(e, cbs, m=2).join(assign, on="vec_id")
-    qs = e.join(assign, on="vec_id").filter(F.col("vec_id") % 25 == 0)
+    # ONE normalized projection feeds trainer, encoder, and query side
+    # (with_unit_vec is idempotent); the index build is a single fused
+    # Arrow pass emitting (id, codes, cell) — no encode-then-join shuffle.
+    eu = with_unit_vec(e).persist()
+    _assign, cents = kmeans_cells_lloyd(eu, k=4, iters=1)
+    cbs = train_pq(eu, m=2, ksub=4, iters=1)
+    enc = pq_encode(eu, cbs, m=2, cents=cents)
+    qs = assign_cells(eu.filter(F.col("vec_id") % 25 == 0), cents, keep_unit=True)
+    # eu stays persisted: the returned plan still reads it (tiny, LRU-evicted)
     return ivfpq_adc_topk(enc, qs, cbs, k=5, m=2).orderBy("query_id", "rk")
 
 
