@@ -3501,3 +3501,137 @@ def t_train_quality_lr(spark, sf_dir):
     return train_quality_lr(
         _load(spark, sf_dir, "documents"), iters=8, lr_num=6, lr_den=1
     ).orderBy("iter")
+
+
+# ------------------------------------------------- KG embedding training
+_KGE_DIMS = range(4)
+
+
+def _kge_epoch_sql(k: int, margin: int = 50) -> str:
+    """One full-batch TransE step in SQL at dim=4: join current tables,
+    sign subgradients on violated margins, grouped integer delta sums,
+    LEFT-JOIN apply (absent ids keep their vector)."""
+    pd = ", ".join(
+        f"eh.e{p} + er.e{p} - et.e{p} AS pd{p}, eh.e{p} + er.e{p} - etc.e{p} AS nd{p}"
+        for p in _KGE_DIMS
+    )
+    sgn = ", ".join(
+        f"SIGN(pd{p})::BIGINT AS sp{p}, SIGN(nd{p})::BIGINT AS sn{p}" for p in _KGE_DIMS
+    )
+    l1p = " + ".join(f"ABS(pd{p})" for p in _KGE_DIMS)
+    l1n = " + ".join(f"ABS(nd{p})" for p in _KGE_DIMS)
+    hrd = ", ".join(f"sn{p} - sp{p} AS d{p}" for p in _KGE_DIMS)
+    tpd = ", ".join(f"sp{p} AS d{p}" for p in _KGE_DIMS)
+    tcd = ", ".join(f"-sn{p} AS d{p}" for p in _KGE_DIMS)
+    dsum = ", ".join(f"SUM(d{p}) AS d{p}" for p in _KGE_DIMS)
+    app = ", ".join(f"e.e{p} + COALESCE(d.d{p}, 0) AS e{p}" for p in _KGE_DIMS)
+    return f"""
+    v{k} AS (
+      SELECT h, r, t, t_corr, {sgn}
+      FROM (
+        SELECT tri.h, tri.r, tri.t, tri.t_corr, {pd}
+        FROM tric tri
+        JOIN ent{k} eh ON eh.id = tri.h
+        JOIN rel{k} er ON er.id = tri.r
+        JOIN ent{k} et ON et.id = tri.t
+        JOIN ent{k} etc ON etc.id = tri.t_corr
+      ) WHERE {l1p} + {margin} > {l1n}
+    ),
+    ed{k} AS (
+      SELECT id, {dsum} FROM (
+        SELECT h AS id, {hrd} FROM v{k}
+        UNION ALL SELECT t AS id, {tpd} FROM v{k}
+        UNION ALL SELECT t_corr AS id, {tcd} FROM v{k}
+      ) GROUP BY id
+    ),
+    ent{k + 1} AS (
+      SELECT e.id, {app} FROM ent{k} e LEFT JOIN ed{k} d ON e.id = d.id
+    ),
+    rd{k} AS (SELECT r AS id, {dsum} FROM (SELECT r, {hrd} FROM v{k}) GROUP BY id),
+    rel{k + 1} AS (
+      SELECT e.id, {app} FROM rel{k} e LEFT JOIN rd{k} d ON e.id = d.id
+    )"""
+
+
+def _kge_oracle_sql(epochs: int = 2, margin: int = 50) -> str:
+    einit = ", ".join(
+        f"('0x' || substr(md5(id::VARCHAR || '#kge{p}#42'), 1, 8))::BIGINT % 201 - 100 AS e{p}"
+        for p in _KGE_DIMS
+    )
+    rinit = ", ".join(
+        f"('0x' || substr(md5(id::VARCHAR || '#kger{p}#42'), 1, 8))::BIGINT % 201 - 100 AS e{p}"
+        for p in _KGE_DIMS
+    )
+    steps = ",".join(_kge_epoch_sql(k, margin) for k in range(epochs))
+    ecols = ", ".join(f"e{p}" for p in _KGE_DIMS)
+    return f"""
+    WITH tri AS (
+      SELECT DISTINCT l_suppkey AS h,
+             CASE l_returnflag WHEN 'A' THEN 0 WHEN 'N' THEN 1 ELSE 2 END AS r,
+             l_partkey % 2000 AS t
+      FROM lineitem WHERE l_quantity > 45
+    ),
+    tric AS (
+      SELECT h, r, t,
+             (t + 1 + (('0x' || substr(md5(h::VARCHAR || '#' || r::VARCHAR || '#'
+                        || t::VARCHAR || '#corr#42'), 1, 8))::BIGINT % 1999)) % 2000 AS t_corr
+      FROM tri
+    ),
+    eids AS (SELECT unnest(generate_series(0, 1999)) AS id
+             UNION SELECT DISTINCT h FROM tri),
+    ent0 AS (SELECT id, {einit} FROM eids),
+    rids AS (SELECT unnest(generate_series(0, 2)) AS id),
+    rel0 AS (SELECT id, {rinit} FROM rids),
+    {steps}
+    SELECT id AS node, {ecols} FROM ent{epochs} ORDER BY node
+    """
+
+
+@query("kge_transe", _kge_oracle_sql(epochs=2))
+def kge_transe(spark, sf_dir):
+    """Knowledge-graph embedding TRAINING (functions/kge.py): 2 full-batch
+    TransE epochs (L1, margin 50) over a lineitem-derived triple store,
+    every quantity an exact i64 — md5-keyed init, deterministic tail
+    corruption, sign-vector subgradients, associative integer delta sums —
+    so the learned embedding table is bit-identical under any
+    partitioning and the oracle unrolls both epochs in SQL and
+    hash-matches all 2000+ entity vectors. Embeddings never visit the
+    driver (4 equi-joins + one grouped delta sum per epoch): the entity
+    count can be 10^9. Returns the final entity table (node, e0..e3)."""
+    from theta_spark.functions.kge import _draw32, init_embeddings, train_transe
+
+    li = _load(spark, sf_dir, "lineitem")
+    tri = (
+        li.filter(F.col("l_quantity") > 45)
+        .select(
+            F.col("l_suppkey").cast("long").alias("h"),
+            F.when(F.col("l_returnflag") == "A", 0)
+            .when(F.col("l_returnflag") == "N", 1)
+            .otherwise(2)
+            .cast("long")
+            .alias("r"),
+            (F.col("l_partkey") % 2000).cast("long").alias("t"),
+        )
+        .distinct()
+    )
+    tric = tri.withColumn(
+        "t_corr",
+        (
+            F.col("t")
+            + 1
+            + _draw32(F.concat_ws("#", "h", "r", "t"), "corr", 42) % 1999
+        )
+        % 2000,
+    )
+    ents = (
+        spark.range(0, 2000).select(F.col("id"))
+        .unionByName(tri.select(F.col("h").alias("id")))
+        .distinct()
+    )
+    ent0 = init_embeddings(ents, dim=4, tag="kge", seed=42)
+    rel0 = init_embeddings(spark.range(0, 3), dim=4, tag="kger", seed=42)
+    ent_f, _rel_f = train_transe(ent0, rel0, tric, dim=4, epochs=2, margin=50)
+    return ent_f.select(
+        F.col("id").alias("node"),
+        *[F.col("emb")[p].alias(f"e{p}") for p in _KGE_DIMS],
+    ).orderBy("node")
