@@ -805,10 +805,7 @@ def mm_media_features(spark, sf_dir):
 # sha256(content) rides the engine's triple rows internally (input_hint
 # invariant, asserted in tests); it is projected out here because the
 # oracle would otherwise have to rebuild full file contents in SQL.
-@query(
-    "kg_triples",
-    r"""
-    WITH ids AS (
+_KG_GOLD_CTES = r"""ids AS (
       SELECT unnest(generate_series(0, (SELECT COUNT(*) FROM documents) - 1)) AS i
     ),
     d AS (
@@ -869,7 +866,13 @@ def mm_media_features(spark, sf_dir):
       UNION ALL
       SELECT 'h', 'instance_of', 'handler' || (i % 11) || '_0', doc_id
       FROM fns WHERE f = 0 AND n_classes > 0
-    )
+    )"""
+
+@query(
+    "kg_triples",
+    "WITH "
+    + _KG_GOLD_CTES
+    + r"""
     SELECT DISTINCT subj, pred, obj, doc_id FROM (
       SELECT * FROM libs UNION ALL SELECT * FROM cls_def
       UNION ALL SELECT * FROM meth_contains UNION ALL SELECT * FROM meth_calls
@@ -3635,3 +3638,56 @@ def kge_transe(spark, sf_dir):
         F.col("id").alias("node"),
         *[F.col("emb")[p].alias(f"e{p}") for p in _KGE_DIMS],
     ).orderBy("node")
+
+
+@query(
+    "kg_pattern_match",
+    "WITH "
+    + _KG_GOLD_CTES
+    + r""",
+    gold AS (
+      SELECT DISTINCT subj, pred, obj FROM (
+        SELECT * FROM libs UNION ALL SELECT * FROM cls_def
+        UNION ALL SELECT * FROM meth_contains UNION ALL SELECT * FROM meth_calls
+        UNION ALL SELECT * FROM fn_def UNION ALL SELECT * FROM fn_calls
+        UNION ALL SELECT * FROM inst
+      )
+    )
+    SELECT DISTINCT d.subj AS module, d.obj AS fname
+    FROM gold d JOIN gold c ON d.obj = c.subj
+    WHERE d.pred = 'defines' AND c.pred = 'calls' AND c.obj = 'shared_util'
+    ORDER BY module, fname
+    """,
+)
+def kg_pattern_match(spark, sf_dir):
+    """Conjunctive pattern query over the ENGINE-BUILT KG — the SPARQL
+    shape `?m defines ?f . ?f calls shared_util` ("which modules define a
+    function that touches the shared utility" — the dependency-impact
+    question a code KG exists to answer). Runs the full extraction
+    pipeline, then one self-equi-join of the triple table: the
+    calls->shared_util side is filtered FIRST (selective pattern leg) and
+    broadcast, so the join never shuffles the full triple table — the
+    plan shape conjunctive-pattern engines (and Spark's own GraphFrames
+    motif finding) use at scale. Oracle: the same two-leg join over the
+    STRUCTURAL gold triples, so a regression in extraction OR in the
+    pattern semantics flips it red."""
+    from theta_spark.corpus import corpus_df
+    from theta_spark.pipeline import extract_triples
+
+    n_docs = _load(spark, sf_dir, "documents").count()
+    corpus, _ = corpus_df(spark, n_docs, seed=42, num_partitions=8, with_docs=False)
+    t = extract_triples(corpus).select("subj", "pred", "obj").distinct()
+    defines = t.filter(F.col("pred") == "defines").select(
+        F.col("subj").alias("module"), F.col("obj").alias("fname")
+    )
+    calls_util = (
+        t.filter((F.col("pred") == "calls") & (F.col("obj") == "shared_util"))
+        .select(F.col("subj").alias("fname"))
+        .distinct()
+    )
+    return (
+        defines.join(F.broadcast(calls_util), on="fname")
+        .select("module", "fname")
+        .distinct()
+        .orderBy("module", "fname")
+    )
