@@ -424,10 +424,13 @@ def run_bench(
         # label encoding (both oracle-checked driver queries)
         "gr_pagerank",
         "p6_label_encode",
-        # round-5 addition: the composed IVF-PQ ANN index (coarse-cell
-        # prune + ADC over integer codes) — NOTE: r5 headline totals
-        # include one more query than r1-r4; compare per-query walls
+        # round-5 additions: the composed IVF-PQ ANN index (coarse-cell
+        # prune + ADC over integer codes) and the two fixed-point
+        # distributed trainers — NOTE: the r5 headline includes three
+        # more queries than r1-r4; compare per-query walls
         "sim_ivfpq_topk",
+        "t_train_quality_lr",
+        "kge_transe",
     ]
     # settle between sections: force Python GC (and give the JVM
     # ContextCleaner a beat) so cleanup of the kg section's out-of-scope
