@@ -518,3 +518,56 @@ def test_hits_rejects_zero_iters(spark):
     e = spark.createDataFrame([(1, 2)], "src long, dst long")
     with pytest.raises(ValueError, match="iters"):
         hits(e, iters=0)
+
+
+# ---------------------------------------------------------- graph-ML sampling
+def _draw32_py(key, tag, seed=42):
+    import hashlib
+
+    return int(hashlib.md5(f"{key}#{tag}#{seed}".encode()).hexdigest()[:8], 16)
+
+
+def test_neighbor_sample_exact_k_and_replayable(spark):
+    from theta_spark.functions.graph import neighbor_sample
+
+    edges = [(0, d) for d in range(10)] + [(1, 5), (1, 6), (2, 9)]
+    e = spark.createDataFrame(edges, "src long, dst long")
+    out = neighbor_sample(e, k=3, seed=42).collect()
+    by_node = {}
+    for r in out:
+        by_node.setdefault(r["node"], []).append((r["rk"], r["nbr"]))
+    assert len(by_node[0]) == 3          # hub capped at k
+    assert len(by_node[1]) == 2          # below k keeps all
+    assert len(by_node[2]) == 1
+    # replayable: ranks follow the md5 draw order, ties by nbr
+    want0 = sorted(range(10), key=lambda d: (_draw32_py(f"0#{d}", "nbr"), d))[:3]
+    assert [n for _, n in sorted(by_node[0])] == want0
+    # partitioning cannot change the sample
+    out2 = neighbor_sample(e.repartition(7), k=3, seed=42).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, out2))
+
+
+def test_random_walks_replica_and_dead_end(spark):
+    from theta_spark.functions.graph import random_walks
+
+    # 0 -> {1,2}, 1 -> {3}, 2 -> {}, 3 -> {0}: walks can dead-end at 2
+    edges = [(0, 1), (0, 2), (1, 3), (3, 0)]
+    e = spark.createDataFrame(edges, "src long, dst long")
+    starts = spark.createDataFrame([(0,)], "node long")
+    got = sorted(
+        (r["walk_id"], r["walk_idx"], r["step"], r["node"])
+        for r in random_walks(e, starts, steps=3, walks_per_node=2, seed=42).collect()
+    )
+
+    adj = {0: [1, 2], 1: [3], 3: [0]}
+    want = []
+    for wi in range(2):
+        cur = 0
+        want.append((0, wi, 0, 0))
+        for s in range(1, 4):
+            nbrs = adj.get(cur, [])
+            if not nbrs:
+                break
+            cur = min(nbrs, key=lambda d: (_draw32_py(f"{cur}#{d}#{wi}", f"walk{s}"), d))
+            want.append((0, wi, s, cur))
+    assert got == sorted(want)

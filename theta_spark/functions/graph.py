@@ -25,7 +25,7 @@ Scale notes (100 TB / 10^9-node targets):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 SCALE = 10**12
@@ -672,3 +672,97 @@ def hits(
             F.when(F.col("mh") > 0, F.col("hub_s") / F.col("mh")).otherwise(0.0), 6
         ).alias("hub"),
     )
+
+
+# ---------------------------------------------------------- graph-ML sampling
+def _gdraw(key, tag: str, seed: int):
+    """md5 draw in [0, 2^32) — the package's replayable-randomness idiom
+    (functions/sampling._draw32); SQL twin ('0x' || substr(md5(k || '#tag#seed'),1,8))::BIGINT."""
+    return F.conv(
+        F.substring(F.md5(F.concat_ws("", key.cast("string"), F.lit(f"#{tag}#{seed}"))), 1, 8),
+        16,
+        10,
+    ).cast("long")
+
+
+def neighbor_sample(
+    edges: DataFrame,
+    k: int = 3,
+    seed: int = 42,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """GraphSAGE-style per-node neighbor sampling: for every node keep its
+    k out-neighbors with the smallest md5 draw of the EDGE (node#nbr) —
+    deterministic, replayable, and subset-stable (same seed on any
+    cluster picks the same neighbors; a node's sample never depends on
+    other nodes' edges). Returns (node, nbr, rk), rk 1..k.
+
+    Plan shape: one partitioned window that Spark plans as
+    WindowGroupLimit — per-partition top-k push-down, no full per-node
+    sort materializes (same contract as sampling.group_sample, which the
+    plan test pins). This is the minibatch fan-in sampler a distributed
+    GNN trainer runs per layer; hub nodes cost k rows like everyone
+    else, which is the entire point of sampled aggregation."""
+    w = Window.partitionBy("node").orderBy(
+        _gdraw(F.concat_ws("#", F.col("node"), F.col("nbr")), "nbr", seed),
+        F.col("nbr"),
+    )
+    return (
+        edges.select(F.col(src).alias("node"), F.col(dst).alias("nbr"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+    )
+
+
+def random_walks(
+    edges: DataFrame,
+    starts: DataFrame,
+    steps: int = 3,
+    walks_per_node: int = 2,
+    seed: int = 42,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Deterministic node2vec-style walks: `walks_per_node` walks from
+    each start node, each taking `steps` hops; at every hop the walk
+    moves to the out-neighbor with the smallest md5 draw keyed by
+    (current#candidate#walk_idx, step) — replayable randomness, so the
+    walk corpus (the skip-gram input graph embeddings train on) is
+    bit-identical on any cluster/rerun. A walk that reaches a node with
+    no out-edges simply ends (rows up to that step are emitted).
+
+    Returns (walk_id, walk_idx, step, node) with step 0 = the start.
+
+    Per hop: one equi-join frontier->edges (frontier is |starts| *
+    walks_per_node rows — broadcast-sized against the edge table) and one
+    (walk, step)-partitioned min — O(steps) shuffles total, the frontier
+    never grows. Walk count, not graph size, bounds driver-visible state
+    (nothing is collected)."""
+    frontier = (
+        starts.select(F.col("node").alias("walk_id"))
+        .crossJoin(
+            starts.sparkSession.range(walks_per_node).select(
+                F.col("id").cast("int").alias("walk_idx")
+            )
+        )
+        .select("walk_id", "walk_idx", F.col("walk_id").alias("node"))
+    )
+    out = frontier.withColumn("step", F.lit(0))
+    for s in range(1, steps + 1):
+        cand = frontier.join(
+            edges.select(F.col(src).alias("node"), F.col(dst).alias("nbr")), on="node"
+        )
+        d = _gdraw(
+            F.concat_ws("#", F.col("node"), F.col("nbr"), F.col("walk_idx")),
+            f"walk{s}",
+            seed,
+        )
+        w = Window.partitionBy("walk_id", "walk_idx").orderBy(d, F.col("nbr"))
+        frontier = (
+            cand.withColumn("_rk", F.row_number().over(w))
+            .filter(F.col("_rk") == 1)
+            .select("walk_id", "walk_idx", F.col("nbr").alias("node"))
+        )
+        out = out.unionByName(frontier.withColumn("step", F.lit(s)))
+    return out

@@ -3691,3 +3691,97 @@ def kg_pattern_match(spark, sf_dir):
         .distinct()
         .orderBy("module", "fname")
     )
+
+
+# ------------------------------------------------- graph-ML sampling
+@query(
+    "gr_neighbor_sample",
+    f"""
+    WITH {_GRAPH_SQL_CTE},
+    ranked AS (
+      SELECT src AS node, dst AS nbr,
+             ROW_NUMBER() OVER (
+               PARTITION BY src
+               ORDER BY ('0x' || substr(md5(src::VARCHAR || '#' || dst::VARCHAR
+                         || '#nbr#42'), 1, 8))::BIGINT, dst
+             ) AS rk
+      FROM ge
+    )
+    SELECT node, nbr, rk FROM ranked WHERE rk <= 3 ORDER BY node, rk
+    """,
+)
+def gr_neighbor_sample(spark, sf_dir):
+    """GraphSAGE-style minibatch neighbor sampling over the KG
+    (functions/graph.py neighbor_sample): each node keeps its 3
+    out-neighbors with the smallest md5 edge draw — deterministic and
+    replayable on any cluster, hubs cost k rows like everyone else (the
+    point of sampled aggregation). One WindowGroupLimit window (top-k
+    push-down, no full per-node sort — group_sample's pinned plan
+    shape)."""
+    from theta_spark.functions.graph import neighbor_sample
+
+    return (
+        neighbor_sample(_graph_edges(spark, sf_dir), k=3, seed=42)
+        .select(F.col("node").cast("long"), F.col("nbr").cast("long"), "rk")
+        .orderBy("node", "rk")
+    )
+
+
+def _walk_step_sql(s: int) -> str:
+    return f"""
+    f{s} AS (
+      SELECT walk_id, walk_idx, nbr AS node FROM (
+        SELECT f.walk_id, f.walk_idx, ge.dst AS nbr,
+               ROW_NUMBER() OVER (
+                 PARTITION BY f.walk_id, f.walk_idx
+                 ORDER BY ('0x' || substr(md5(f.node::VARCHAR || '#' || ge.dst::VARCHAR
+                           || '#' || f.walk_idx::VARCHAR || '#walk{s}#42'), 1, 8))::BIGINT,
+                          ge.dst
+               ) AS rk
+        FROM f{s - 1} f JOIN ge ON ge.src = f.node
+      ) WHERE rk = 1
+    )"""
+
+
+@query(
+    "gr_random_walks",
+    f"""
+    WITH {_GRAPH_SQL_CTE},
+    starts AS (
+      SELECT DISTINCT src AS node FROM ge WHERE src % 50 = 0
+    ),
+    f0 AS (
+      SELECT node AS walk_id, walk_idx, node
+      FROM starts, (SELECT unnest(generate_series(0, 1))::INT AS walk_idx)
+    ),
+    {",".join(_walk_step_sql(s) for s in range(1, 4))}
+    SELECT walk_id, walk_idx, step, node FROM (
+      SELECT walk_id, walk_idx, 0 AS step, node FROM f0
+      UNION ALL SELECT walk_id, walk_idx, 1, node FROM f1
+      UNION ALL SELECT walk_id, walk_idx, 2, node FROM f2
+      UNION ALL SELECT walk_id, walk_idx, 3, node FROM f3
+    ) ORDER BY walk_id, walk_idx, step
+    """,
+)
+def gr_random_walks(spark, sf_dir):
+    """node2vec-style walk corpus over the KG (functions/graph.py
+    random_walks): 2 walks x 3 hops from every node % 50 == 0, each hop
+    moving to the out-neighbor with the smallest (edge, walk, step)-keyed
+    md5 draw — the skip-gram training corpus for graph embeddings,
+    bit-identical on any cluster/rerun. O(steps) shuffles; the frontier
+    (|starts| x 2 rows) never grows. Oracle unrolls the 3 hops as
+    window CTEs."""
+    from theta_spark.functions.graph import random_walks
+
+    ge = _graph_edges(spark, sf_dir)
+    starts = ge.filter(F.col("src") % 50 == 0).select(F.col("src").alias("node")).distinct()
+    return (
+        random_walks(ge, starts, steps=3, walks_per_node=2, seed=42)
+        .select(
+            F.col("walk_id").cast("long"),
+            "walk_idx",
+            "step",
+            F.col("node").cast("long"),
+        )
+        .orderBy("walk_id", "walk_idx", "step")
+    )
