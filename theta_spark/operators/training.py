@@ -241,14 +241,24 @@ def train_quality_lr(
     hist = []
     for it in range(iters + 1):
         assert all(abs(wi) < 10**10 for wi in w), "weights out of exactness bound"
+        # weights ride as a BROADCAST 1-row frame, not literals: the
+        # generated codegen source is then IDENTICAL across iterations
+        # (only broadcast values differ), so whole-stage compilation is
+        # paid once, not once per GD step — with literal weights the
+        # per-iteration recompile is a serial Amdahl constant that caps
+        # scaling of the whole training loop (measured: bench_trainers)
+        wdf = spark.createDataFrame(
+            [tuple(w)], ", ".join(f"_w{i} long" for i in range(4))
+        )
+        feats_w = feats.crossJoin(F.broadcast(wdf))
         z = _fdiv(
-            sum(F.lit(wi) * F.col(c) for wi, c in zip(w, _QL_FEATURE_COLS)),
+            sum(F.col(f"_w{i}") * F.col(c) for i, c in enumerate(_QL_FEATURE_COLS)),
             F.lit(s),
         )
         p = F.least(F.greatest(_fdiv(z, F.lit(4)) + half, F.lit(0)), F.lit(s))
         err = p - F.col("y") * s
         m = ((z > -two_s) & (z < two_s)).cast("long")
-        row = feats.agg(
+        row = feats_w.agg(
             *[
                 F.sum(_fdiv(err * m * F.col(c), F.lit(s))).alias(f"g{i}")
                 for i, c in enumerate(_QL_FEATURE_COLS)
