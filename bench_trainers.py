@@ -10,7 +10,7 @@ fixed-point training operators:
   md5-synthesized triples / --n-entities entities (dim 4).
 
 Usage: python bench_trainers.py [n_low=2] [n_docs=300000] [n_triples=1000000]
-Prints one JSON line and appends a section to BENCH.md.
+Prints one JSON line (results are curated into BENCH.md §U by hand).
 """
 
 from __future__ import annotations
@@ -60,7 +60,7 @@ tri.count()  # triple synthesis outside the timed window
 ent0 = init_embeddings(spark.range(NE).repartition({cpus} * 2), dim=4, tag="kge")
 rel0 = init_embeddings(spark.range(NR), dim=4, tag="kger")
 t0 = time.time()
-ent_f, rel_f = train_transe(ent0, rel0, tri, dim=4, epochs=2)
+ent_f, rel_f = train_transe(ent0, rel0, tri, epochs=2)
 n_out = ent_f.count()
 kge_sec = time.time() - t0
 out["transe"] = {{

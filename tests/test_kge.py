@@ -75,7 +75,7 @@ def test_init_matches_python_draws(spark):
 def test_epoch_matches_python_replica(spark):
     tdf, ent, rel, ent_py, rel_py, triples = _tiny(spark)
     for _ in range(3):
-        ent, rel = transe_epoch(ent, rel, tdf, dim=4, margin=50)
+        ent, rel = transe_epoch(ent, rel, tdf, margin=50)
         # lineage discipline (see train_transe): each epoch references ent
         # 4x, so cut per epoch or plan size grows 4^epochs
         ent, rel = ent.localCheckpoint(eager=True), rel.localCheckpoint(eager=True)
@@ -86,8 +86,8 @@ def test_epoch_matches_python_replica(spark):
 
 def test_training_partitioning_invariant(spark):
     tdf, ent, rel, *_ = _tiny(spark)
-    e1, r1 = train_transe(ent.repartition(1), rel, tdf.repartition(1), dim=4, epochs=2)
-    e2, r2 = train_transe(ent.repartition(7), rel, tdf.repartition(5), dim=4, epochs=2)
+    e1, r1 = train_transe(ent.repartition(1), rel, tdf.repartition(1), epochs=2)
+    e2, r2 = train_transe(ent.repartition(7), rel, tdf.repartition(5), epochs=2)
     assert {r["id"]: list(r["emb"]) for r in e1.collect()} == {
         r["id"]: list(r["emb"]) for r in e2.collect()
     }
@@ -102,7 +102,7 @@ def test_violations_decrease(spark):
     from corrupted triples."""
     tdf, ent, rel, *_ = _tiny(spark, n_ent=20)
     v0 = violation_count(ent, rel, tdf, margin=50)
-    ent_f, rel_f = train_transe(ent, rel, tdf, dim=4, epochs=6)
+    ent_f, rel_f = train_transe(ent, rel, tdf, epochs=6)
     vf = violation_count(ent_f, rel_f, tdf, margin=50)
     assert vf < v0
 
@@ -111,8 +111,8 @@ def test_checkpoint_interval_bit_unobservable(spark):
     """Materialize points cannot change a bit: every-epoch cuts vs
     2-epoch cuts vs none (small enough to tolerate the 4^2 plan)."""
     tdf, ent, rel, *_ = _tiny(spark)
-    e_none, _ = train_transe(ent, rel, tdf, dim=4, epochs=2, checkpoint_every=0)
-    e_one, _ = train_transe(ent, rel, tdf, dim=4, epochs=2, checkpoint_every=1)
+    e_none, _ = train_transe(ent, rel, tdf, epochs=2, checkpoint_every=0)
+    e_one, _ = train_transe(ent, rel, tdf, epochs=2, checkpoint_every=1)
     assert {r["id"]: list(r["emb"]) for r in e_none.collect()} == {
         r["id"]: list(r["emb"]) for r in e_one.collect()
     }
@@ -125,7 +125,7 @@ def test_absent_entity_keeps_vector(spark):
     touched = {x for h, r, t, tc in triples for x in (h, t, tc)}
     untouched = set(range(30)) - touched
     assert untouched  # fixture sanity
-    ent_f, _ = train_transe(ent, rel, tdf, dim=4, epochs=2)
+    ent_f, _ = train_transe(ent, rel, tdf, epochs=2)
     got = {r["id"]: list(r["emb"]) for r in ent_f.collect()}
     for i in untouched:
         assert got[i] == ent_py[i]

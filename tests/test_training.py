@@ -157,7 +157,7 @@ def _reference_quality_lr(rows, iters, lr_num, lr_den, threshold=300):
             (
                 (min(nc, 1000) * S) // 1000,
                 (spaces * S) // max(nc, 1),
-                (cnt_the * S) // max(spaces + 1, 1),
+                min((cnt_the * S) // max(spaces + 1, 1), S),
                 S,
                 1 if nc >= threshold else 0,
             )

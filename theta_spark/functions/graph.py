@@ -675,14 +675,9 @@ def hits(
 
 
 # ---------------------------------------------------------- graph-ML sampling
-def _gdraw(key, tag: str, seed: int):
-    """md5 draw in [0, 2^32) — the package's replayable-randomness idiom
-    (functions/sampling._draw32); SQL twin ('0x' || substr(md5(k || '#tag#seed'),1,8))::BIGINT."""
-    return F.conv(
-        F.substring(F.md5(F.concat_ws("", key.cast("string"), F.lit(f"#{tag}#{seed}"))), 1, 8),
-        16,
-        10,
-    ).cast("long")
+# the package's ONE replayable-randomness kernel (sampling._draw32);
+# SQL twin ('0x' || substr(md5(k || '#tag#seed'), 1, 8))::BIGINT
+from theta_spark.functions.sampling import _draw32 as _gdraw  # noqa: E402
 
 
 def neighbor_sample(
@@ -731,6 +726,9 @@ def random_walks(
     walk corpus (the skip-gram input graph embeddings train on) is
     bit-identical on any cluster/rerun. A walk that reaches a node with
     no out-edges simply ends (rows up to that step are emitted).
+    `starts` is distinct-ed on entry: duplicate start rows would emit
+    duplicated step-0 rows while later steps collapse to one row per
+    (walk_id, walk_idx) — an inconsistent corpus.
 
     Returns (walk_id, walk_idx, step, node) with step 0 = the start.
 
@@ -740,7 +738,7 @@ def random_walks(
     never grows. Walk count, not graph size, bounds driver-visible state
     (nothing is collected)."""
     frontier = (
-        starts.select(F.col("node").alias("walk_id"))
+        starts.select(F.col("node").alias("walk_id")).distinct()
         .crossJoin(
             starts.sparkSession.range(walks_per_node).select(
                 F.col("id").cast("int").alias("walk_idx")

@@ -37,14 +37,9 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
-def _draw32(key: Column, tag: str, seed: int) -> Column:
-    """First 8 md5 hex chars of '<key>#<tag>#<seed>' as i64 in [0, 2^32) —
-    SQL twin ('0x' || substr(md5(...), 1, 8))::BIGINT (sampling._draw32)."""
-    return F.conv(
-        F.substring(F.md5(F.concat_ws("", key.cast("string"), F.lit(f"#{tag}#{seed}"))), 1, 8),
-        16,
-        10,
-    ).cast("long")
+# the package's ONE replayable-randomness kernel (shared with the
+# sampling/augment side so the draw format can never desynchronize)
+from theta_spark.functions.sampling import _draw32  # noqa: E402,F401
 
 
 def init_embeddings(
@@ -107,7 +102,6 @@ def transe_epoch(
     ent: DataFrame,
     rel: DataFrame,
     triples: DataFrame,
-    dim: int,
     lr: int = 1,
     margin: int = 50,
 ) -> tuple[DataFrame, DataFrame]:
@@ -163,7 +157,6 @@ def train_transe(
     ent: DataFrame,
     rel: DataFrame,
     triples: DataFrame,
-    dim: int,
     epochs: int = 2,
     lr: int = 1,
     margin: int = 50,
@@ -181,7 +174,7 @@ def train_transe(
     are bit-unobservable (pinned by test). 0 disables (tiny epoch counts
     only)."""
     for e in range(1, epochs + 1):
-        ent, rel = transe_epoch(ent, rel, triples, dim, lr=lr, margin=margin)
+        ent, rel = transe_epoch(ent, rel, triples, lr=lr, margin=margin)
         if checkpoint_every and e % checkpoint_every == 0 and e < epochs:
             ent = ent.localCheckpoint(eager=True)
             rel = rel.localCheckpoint(eager=True)

@@ -38,7 +38,12 @@ def with_unit_vec(df: DataFrame, vec_col: str = "embedding", out_col: str = "uni
     Idempotent: if `out_col` is already present the frame is returned
     unchanged, so a caller can normalize (and persist) ONE projection and
     pass it through every index stage — trainer, encoder, query side —
-    without each stage re-deriving it from the raw vectors."""
+    without each stage re-deriving it from the raw vectors.
+
+    CALLER CONTRACT: a pre-existing `out_col` is TRUSTED to be the unit
+    normalization of `vec_col` (the short-circuit keys on the column
+    name; it cannot verify provenance). Frames whose `unit` column means
+    something else must rename it before entering the similarity API."""
     if out_col in df.columns:
         return df
     v = F.col(vec_col).cast("array<double>")

@@ -151,10 +151,13 @@ def best_model_selection(
 # nondeterminism — the classic reason distributed SGD is untestable).
 #
 # Magnitude bounds (documented so the FLOOR-through-double trick stays
-# exact, |x| < 2^53): features and err are <= QL_S = 1e6; per-row
-# err*m*x_i <= 1e12; the gradient SUM <= n_rows * 1e6 (exact i64 up to
-# ~9e12 docs); w·x <= 4 * |w| * 1e6 — |w| stays < ~1e7 for the shipped
-# lr/iters, asserted at runtime.
+# exact, |x| < 2^53): features are CAPPED at QL_S = 1e6 (x_stop
+# saturates — a space-free doc of repeated stopwords would otherwise
+# blow the bound), err <= 1e6; per-row err*m*x_i <= 1e12; the gradient
+# SUM <= n_rows * 1e6 (exact i64 up to ~9e12 docs); per-row
+# |w·x| <= 4 * |w| * 1e6 must stay < 2^53, so |w| < 2.25e9 — asserted
+# at runtime each iteration (|w| stays < ~1e7 for the shipped
+# lr/iters; the assert is the contract for exotic ones).
 #
 # Scale shape: features are ONE narrow projection of the corpus scan
 # (all JVM built-ins — length/translate/replace arithmetic), persisted
@@ -181,7 +184,7 @@ def quality_features(
 
     x_len   min(n_chars, 1000)/1000      (length, saturated)
     x_space spaces/n_chars               (whitespace ratio)
-    x_stop  count('the')/(spaces+1)      (stopword-per-word ratio)
+    x_stop  count('the')/(spaces+1)      (stopword-per-word ratio, capped at 1.0)
     x_bias  1.0
     y       1 iff n_chars >= label_threshold (the teachable proxy rule)
 
@@ -199,7 +202,7 @@ def quality_features(
     return docs.select(
         _fdiv(F.least(nc, F.lit(1000)) * s, F.lit(1000)).alias("x_len"),
         _fdiv(spaces * s, F.greatest(nc, F.lit(1))).alias("x_space"),
-        _fdiv(cnt_stop * s, F.greatest(spaces + 1, F.lit(1))).alias("x_stop"),
+        F.least(_fdiv(cnt_stop * s, F.greatest(spaces + 1, F.lit(1))), s).alias("x_stop"),
         s.cast("long").alias("x_bias"),
         (nc >= label_threshold).cast("long").alias("y"),
     )
@@ -240,7 +243,8 @@ def train_quality_lr(
     w = [0, 0, 0, 0]
     hist = []
     for it in range(iters + 1):
-        assert all(abs(wi) < 10**10 for wi in w), "weights out of exactness bound"
+        # exactness: per-row |w.x| <= 4*|w|*QL_S must stay < 2^53
+        assert all(abs(wi) < 2 * 10**9 for wi in w), "weights out of exactness bound"
         # weights ride as a BROADCAST 1-row frame, not literals: the
         # generated codegen source is then IDENTICAL across iterations
         # (only broadcast values differ), so whole-stage compilation is

@@ -3468,9 +3468,9 @@ def _ql_oracle_sql(iters: int = 8, lr_num: int = 6, lr_den: int = 1) -> str:
       SELECT CAST(FLOOR(LEAST(n_chars, 1000) * {S} / 1000.0) AS BIGINT) AS x_len,
              CAST(FLOOR((length(text) - length(replace(text, ' ', ''))) * {S}.0
                         / GREATEST(n_chars, 1)) AS BIGINT) AS x_space,
-             CAST(FLOOR(CAST(FLOOR((length(text) - length(replace(text, 'the', ''))) / 3.0) AS BIGINT)
+             LEAST(CAST(FLOOR(CAST(FLOOR((length(text) - length(replace(text, 'the', ''))) / 3.0) AS BIGINT)
                         * {S}.0
-                        / GREATEST(length(text) - length(replace(text, ' ', '')) + 1, 1)) AS BIGINT) AS x_stop,
+                        / GREATEST(length(text) - length(replace(text, ' ', '')) + 1, 1)) AS BIGINT), {S}) AS x_stop,
              CAST({S} AS BIGINT) AS x_bias,
              CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END AS y
       FROM documents
@@ -3633,7 +3633,7 @@ def kge_transe(spark, sf_dir):
     )
     ent0 = init_embeddings(ents, dim=4, tag="kge", seed=42)
     rel0 = init_embeddings(spark.range(0, 3), dim=4, tag="kger", seed=42)
-    ent_f, _rel_f = train_transe(ent0, rel0, tric, dim=4, epochs=2, margin=50)
+    ent_f, _rel_f = train_transe(ent0, rel0, tric, epochs=2, margin=50)
     return ent_f.select(
         F.col("id").alias("node"),
         *[F.col("emb")[p].alias(f"e{p}") for p in _KGE_DIMS],
