@@ -129,3 +129,31 @@ def test_absent_entity_keeps_vector(spark):
     got = {r["id"]: list(r["emb"]) for r in ent_f.collect()}
     for i in untouched:
         assert got[i] == ent_py[i]
+
+
+def test_warm_start_incremental_refresh(spark):
+    """The incremental-KG story for embeddings (pagerank-warm-start
+    analog): after a triple delta lands, training resumes FROM the prior
+    embedding tables (train_transe takes ent/rel frames, not an RNG
+    state), and a warm-started refresh on the merged triple set must (a)
+    start from strictly fewer margin violations than a cold init on the
+    same set, and (b) equal the cold run's result given the same number
+    of FURTHER epochs from the same state — i.e. warm-starting is pure
+    state reuse, not a different algorithm."""
+    tdf, ent, rel, *_ = _tiny(spark, n_ent=20)
+    # prior "run": 3 epochs on the base triples
+    ent1, rel1 = train_transe(ent, rel, tdf, epochs=3)
+    delta = spark.createDataFrame(
+        [(5, 1, 11, 17), (6, 0, 12, 18)], "h long, r long, t long, t_corr long"
+    )
+    merged = tdf.unionByName(delta)
+    # (a) the prior state transfers: fewer violations than cold init
+    assert violation_count(ent1, rel1, merged) < violation_count(ent, rel, merged)
+    # (b) pure state reuse: continuing from (ent1, rel1) is just transe
+    e_warm, r_warm = train_transe(ent1, rel1, merged, epochs=2)
+    e_chain, r_chain = train_transe(
+        ent1.localCheckpoint(eager=True), rel1.localCheckpoint(eager=True), merged, epochs=2
+    )
+    assert {r["id"]: list(r["emb"]) for r in e_warm.collect()} == {
+        r["id"]: list(r["emb"]) for r in e_chain.collect()
+    }
