@@ -229,3 +229,69 @@ def test_stratified_sample_prunes_and_stays_narrow(spark):
     assert "Exchange" not in phys
     rs = [l for l in p.splitlines() if "ReadSchema" in l][0]
     assert "doc_id" in rs and "text" not in rs
+
+
+def test_neighbor_sample_plans_window_group_limit(spark):
+    """The per-node top-k sample must plan as WindowGroupLimit (per-
+    partition top-k push-down) — a full per-node sort would make hub
+    nodes quadratic-ish at 10^9 edges."""
+    from theta_spark.functions.graph import neighbor_sample
+
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    e = li.select(F.col("l_suppkey").alias("src"), F.col("l_partkey").alias("dst"))
+    p = plan_of(neighbor_sample(e, k=3))
+    assert "WindowGroupLimit" in p
+
+
+def test_kg_pattern_match_broadcasts_selective_leg(spark):
+    """The conjunctive pattern's selective leg (calls -> shared_util) is
+    broadcast: the triple table must NOT be shuffled for the join."""
+    from theta_spark.corpus import corpus_df
+    from theta_spark.pipeline import extract_triples
+
+    corpus, _ = corpus_df(spark, 30, seed=42, num_partitions=2, with_docs=False)
+    t = extract_triples(corpus).select("subj", "pred", "obj").distinct()
+    defines = t.filter(F.col("pred") == "defines").select(
+        F.col("subj").alias("module"), F.col("obj").alias("fname")
+    )
+    calls_util = (
+        t.filter((F.col("pred") == "calls") & (F.col("obj") == "shared_util"))
+        .select(F.col("subj").alias("fname"))
+        .distinct()
+    )
+    p = plan_of(defines.join(F.broadcast(calls_util), on="fname"))
+    assert "BroadcastHashJoin" in p
+
+
+def test_quality_lr_iteration_agg_is_two_stage(spark):
+    """One GD iteration = scan + partial agg + single final agg: exactly
+    one Exchange (the 1-row final agg), no row shuffle, and the weights
+    join is a broadcast — the shape whose codegen caches across
+    iterations."""
+    from theta_spark.operators.training import (
+        QL_S,
+        _QL_FEATURE_COLS,
+        _fdiv,
+        quality_features,
+    )
+
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    feats = quality_features(d)
+    wdf = spark.createDataFrame([(0, 0, 0, 0)], "_w0 long, _w1 long, _w2 long, _w3 long")
+    fw = feats.crossJoin(F.broadcast(wdf))
+    z = _fdiv(
+        sum(F.col(f"_w{i}") * F.col(c) for i, c in enumerate(_QL_FEATURE_COLS)),
+        F.lit(QL_S),
+    )
+    agg = fw.agg(F.sum(_fdiv(z, F.lit(QL_S))).alias("g"))
+    p = plan_of(agg)
+    phys = p.split("== Physical Plan ==")[-1].split("== Initial Plan ==")[0]
+    # the weights ride a BroadcastExchange; the ONLY shuffle Exchange is
+    # the SinglePartition gather feeding the final 1-row aggregate
+    shuffle_nodes = {
+        l.split("Exchange")[1].strip()
+        for l in phys.splitlines()
+        if "Exchange (" in l and "BroadcastExchange" not in l and "Reused" not in l
+    }
+    assert len(shuffle_nodes) == 1, phys
+    assert "SinglePartition" in phys
