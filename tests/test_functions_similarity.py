@@ -466,3 +466,56 @@ def test_assign_cells_keep_unit(spark):
     import math
     for r in got.collect():
         assert math.isclose(sum(x * x for x in r["unit"]), 1.0, rel_tol=1e-9)
+
+
+def test_ivfpq_index_roundtrip_serving(spark, tmp_path):
+    """The build-once/serve-later lifecycle: build the IVF-PQ index, save
+    it (cell-partitioned codes + quantizers), load it in a 'fresh
+    serving' step, and the served top-k must be bit-identical to querying
+    the in-memory index. Cell filters on the loaded codes must prune at
+    the parquet scan (PartitionFilters), not post-scan."""
+    from pyspark.sql import functions as F
+
+    from theta_spark.functions.similarity import (
+        assign_cells,
+        ivfpq_adc_topk,
+        kmeans_cells_lloyd,
+        load_ivfpq_index,
+        pq_encode,
+        save_ivfpq_index,
+        train_pq,
+    )
+
+    e = _pq_embeddings(spark, n=60, dim=8)
+    _, cents = kmeans_cells_lloyd(e, k=3, iters=1)
+    cbs = train_pq(e, m=2, ksub=4, iters=1, dim=8)
+    enc = pq_encode(e, cbs, m=2, dim=8, cents=cents)
+
+    path = str(tmp_path / "ivfpq")
+    save_ivfpq_index(enc, cbs, cents, path)
+    enc2, cbs2, cents2, manifest = load_ivfpq_index(spark, path)
+    assert cbs2 == cbs and cents2 == sorted(cents)
+    assert manifest["m"] == 2 and manifest["nlist"] == 3 and manifest["dim"] == 8
+
+    qs = assign_cells(e.filter(F.col("vec_id") % 10 == 0), cents, keep_unit=True)
+    served = sorted(
+        map(tuple, ivfpq_adc_topk(enc2, qs, cbs2, k=3, m=2, dim=8).collect())
+    )
+    in_mem = sorted(
+        map(tuple, ivfpq_adc_topk(enc, qs, cbs, k=3, m=2, dim=8).collect())
+    )
+    assert served == in_mem and served
+
+    # partition pruning: a single-cell filter reaches the scan as a
+    # PartitionFilter over the cell directory, reading only that cell
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        enc2.filter(F.col("cell") == 1).explain(True)
+    plan = buf.getvalue()
+    assert "PartitionFilters" in plan
+    assert any(
+        "cell" in seg for seg in plan.split("PartitionFilters: [")[1:2]
+    ), plan

@@ -724,3 +724,62 @@ def semantic_dedup(
             (F.col(id_col) == F.col("keeper")).cast("int").alias("kept"),
         )
     )
+
+
+# ------------------------------------------------------------ index lifecycle
+def save_ivfpq_index(encoded: DataFrame, cbs: dict, cents, path: str) -> None:
+    """Persist the serving index — the build-once/serve-later lifecycle a
+    real ANN deployment runs:
+
+    - `codes` parquet, PARTITIONED BY cell: the probe's equi-filter on
+      cell then becomes partition PRUNING at the scan (a single-probe
+      query reads only its cell's files, never the corpus);
+    - `quantizers.npz`: PQ codebooks + coarse centroids (kilobytes);
+    - `manifest.json`: m / dim / ksub / nlist, so the loader needs no
+      out-of-band knowledge.
+
+    The index rows are integers only (id, m codes, cell) — the raw float
+    corpus is not part of the index, which is the entire point of PQ."""
+    import json as _json
+
+    import numpy as np
+
+    encoded.write.partitionBy("cell").mode("overwrite").parquet(f"{path}/codes")
+    arrs = {f"cb_{s}_{c}": np.asarray(v, dtype=np.float64) for (s, c), v in cbs.items()}
+    for c, v in cents:
+        arrs[f"cent_{c}"] = np.asarray(v, dtype=np.float64)
+    np.savez(f"{path}/quantizers.npz", **arrs)
+    m = 1 + max(s for s, _ in cbs)
+    manifest = {
+        "m": m,
+        "ksub": 1 + max(c for _, c in cbs),
+        "nlist": len(cents),
+        "dim": m * len(next(iter(cbs.values()))),
+    }
+    with open(f"{path}/manifest.json", "w") as f:
+        f.write(_json.dumps(manifest))
+
+
+def load_ivfpq_index(spark, path: str):
+    """(encoded_df, cbs, cents, manifest): rehydrate a saved index. The
+    codes frame is the partitioned parquet scan — cell filters prune at
+    the source — and the quantizers come back bit-identical (float64
+    round-trips exactly through .npz)."""
+    import json as _json
+
+    import numpy as np
+
+    with open(f"{path}/manifest.json") as f:
+        manifest = _json.loads(f.read())
+    enc = spark.read.parquet(f"{path}/codes").select(
+        "vec_id", "codes", F.col("cell").cast("int").alias("cell")
+    )
+    cbs, cents = {}, []
+    with np.load(f"{path}/quantizers.npz") as z:
+        for k in z.files:
+            if k.startswith("cb_"):
+                _, s, c = k.split("_")
+                cbs[(int(s), int(c))] = [float(x) for x in z[k]]
+            else:
+                cents.append((int(k.split("_")[1]), [float(x) for x in z[k]]))
+    return enc, cbs, sorted(cents), manifest
