@@ -1891,6 +1891,22 @@ _IVFPQ_SQL = (
 )
 
 
+_IVFPQ_MP_SQL = _IVFPQ_SQL.replace(
+    """q AS (SELECT vec_id AS query_id, cell FROM af WHERE vec_id % 25 = 0),""",
+    """q AS (
+      SELECT query_id, cell FROM (
+        SELECT u.vec_id AS query_id, c.cell,
+               ROW_NUMBER() OVER (PARTITION BY u.vec_id
+                 ORDER BY ROUND(list_sum(list_transform(generate_series(1, 64),
+                                i -> u.unit[i] * c.cvec[i])), 4) DESC, c.cell) AS prk
+        FROM u CROSS JOIN c1 c
+        WHERE u.vec_id % 25 = 0
+      ) WHERE prk <= 2
+    ),""",
+)
+assert _IVFPQ_MP_SQL != _IVFPQ_SQL  # the replace anchored
+
+
 @query("sim_ivfpq_topk", _IVFPQ_SQL)
 def sim_ivfpq_topk(spark, sf_dir):
     """IVF-PQ: both ANN halves composed into the index a 10^9-vector
@@ -3785,3 +3801,54 @@ def gr_random_walks(spark, sf_dir):
         )
         .orderBy("walk_id", "walk_idx", "step")
     )
+
+
+@query("sim_ivfpq_multiprobe", _IVFPQ_MP_SQL)
+def sim_ivfpq_multiprobe(spark, sf_dir):
+    """IVF-PQ with multi-probe (nprobe=2): each query probes its two
+    nearest coarse cells by trained-centroid cosine — the recall lever of
+    the serving index (cross-boundary neighbors the single-probe variant
+    misses) at exactly 2x the pruned candidate cost, never the corpus.
+    Same fused one-pass index build as sim_ivfpq_topk; the query side
+    carries an ARRAY of probe cells (ivfpq_adc_topk explodes it into the
+    same (cell, sub, code) broadcast equi-join). Oracle: the single-probe
+    IVF-PQ SQL with the query-cell CTE swapped for the probe ranking."""
+    from theta_spark.functions.similarity import (
+        _dot,
+        ivfpq_adc_topk,
+        kmeans_cells_lloyd,
+        pq_encode,
+        train_pq,
+        with_unit_vec,
+    )
+
+    e = _load(spark, sf_dir, "embeddings")
+    eu = with_unit_vec(e).persist()
+    _assign, cents = kmeans_cells_lloyd(eu, k=4, iters=1)
+    cbs = train_pq(eu, m=2, ksub=4, iters=1)
+    enc = pq_encode(eu, cbs, m=2, cents=cents)
+    cent_df = spark.createDataFrame(
+        [(int(c), [float(x) for x in v]) for c, v in cents],
+        "pcell int, cvec array<double>",
+    )
+    ranked = (
+        eu.filter(F.col("vec_id") % 25 == 0)
+        .crossJoin(F.broadcast(cent_df))
+        .select(
+            "vec_id",
+            "unit",
+            "pcell",
+            F.round(_dot(F.col("unit"), F.col("cvec")), 4).alias("csim"),
+        )
+        .withColumn(
+            "prk",
+            F.row_number().over(
+                Window.partitionBy("vec_id").orderBy(F.desc("csim"), F.asc("pcell"))
+            ),
+        )
+        .filter(F.col("prk") <= 2)
+    )
+    qs = ranked.groupBy("vec_id").agg(
+        F.collect_list("pcell").alias("cell"), F.first("unit").alias("unit")
+    )
+    return ivfpq_adc_topk(enc, qs, cbs, k=5, m=2).orderBy("query_id", "rk")
