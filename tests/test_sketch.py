@@ -111,3 +111,30 @@ def test_cms_overestimates_and_matches_python(spark):
 
 def _py_draw_cms(key, j):
     return int(hashlib.md5(f"{key}#cms{j}#0".encode()).hexdigest()[:8], 16)
+
+
+# ------------------------------------------------------------ exact quantiles
+def test_exact_quantiles_definitional_and_bucket_invariant(spark):
+    from theta_spark.functions.sketch import exact_quantiles
+
+    import math
+
+    vals = [5, 5, 5, 7, 9, 9, 12, 40, 40, 41, 100, 100, 100, 100, 3]
+    df = spark.createDataFrame([(v,) for v in vals], "x long")
+    qs = [1, 250, 500, 750, 999, 1000]
+    got = {
+        r["q_permille"]: r["v"]
+        for r in exact_quantiles(df, "x", qs, bucket_width=10).collect()
+    }
+    srt, n = sorted(vals), len(vals)
+    # type-1 quantile: smallest element whose rank reaches ceil(q*n/1000)
+    want = {q: srt[max(math.ceil(q * n / 1000), 1) - 1] for q in qs}
+    assert got == want
+    # bucketing is an implementation detail: widths cannot move a quantile
+    got2 = {
+        r["q_permille"]: r["v"]
+        for r in exact_quantiles(df, "x", qs, bucket_width=3).collect()
+    }
+    assert got2 == got
+    # p1000 is the max, p~0+ is the min
+    assert got[1000] == max(vals) and got[1] == min(vals)

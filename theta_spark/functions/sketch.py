@@ -177,3 +177,52 @@ def cms_heavy_hitters(
         .orderBy(F.desc("est"), F.desc("exact"), "key")
         .limit(k)
     )
+
+
+# ------------------------------------------------------------ exact quantiles
+def exact_quantiles(
+    df: DataFrame,
+    value_col: str,
+    qs_permille: list[int],
+    bucket_width: int = 100,
+) -> DataFrame:
+    """(q_permille, v): EXACT type-1 (discontinuous) quantiles of an
+    integer column — the length-percentile cutoffs a corpus filter is
+    tuned with ("drop below p25 / above p99"), computed distributed and
+    engine-reproducibly, unlike approx_percentile whose error bound is
+    merge-order-dependent.
+
+    v(q) = MIN value whose running count reaches rank ceil(q*n/1000) —
+    all-integer, so any engine agrees bit-for-bit.
+
+    Shape: one groupBy(value) histogram (map-side partials; state =
+    DISTINCT values, not rows — right for bounded-cardinality profile
+    columns like lengths/counts; pre-bucket wider domains first), the
+    shared two-phase prefix sum over it (prefix.py — no unpartitioned
+    window), then one broadcast join of the permille list and a
+    (q)-grouped MIN. The quantile list is tiny by definition."""
+    from theta_spark.prefix import two_phase_cumsum
+
+    spark = df.sparkSession
+    hist = df.groupBy(F.col(value_col).cast("long").alias("v")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    cum = two_phase_cumsum(
+        hist.withColumn("_bkt", F.floor(F.col("v") / bucket_width).cast("long")),
+        value_col="cnt",
+        order_col="v",
+        bucket_col="_bkt",
+    )
+    n_total = hist.agg(F.sum("cnt").alias("n"))
+    qdf = spark.createDataFrame([(int(q),) for q in qs_permille], "q_permille int")
+    ranks = qdf.crossJoin(F.broadcast(n_total)).select(
+        "q_permille",
+        F.expr("CAST((q_permille * n + 999) DIV 1000 AS BIGINT)").alias("rank"),
+    )
+    return (
+        cum.crossJoin(F.broadcast(ranks))
+        .filter(F.col("_cum") >= F.col("rank"))
+        .groupBy("q_permille")
+        .agg(F.min("v").alias("v"))
+        .orderBy("q_permille")
+    )

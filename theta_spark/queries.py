@@ -3852,3 +3852,39 @@ def sim_ivfpq_multiprobe(spark, sf_dir):
         F.collect_list("pcell").alias("cell"), F.first("unit").alias("unit")
     )
     return ivfpq_adc_topk(enc, qs, cbs, k=5, m=2).orderBy("query_id", "rk")
+
+
+@query(
+    "t_quantiles",
+    r"""
+    WITH hist AS (
+      SELECT n_chars::BIGINT AS v, COUNT(*)::BIGINT AS cnt
+      FROM documents GROUP BY n_chars
+    ),
+    cum AS (
+      SELECT v, SUM(cnt) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS c
+      FROM hist
+    ),
+    n AS (SELECT SUM(cnt)::BIGINT AS n FROM hist),
+    ranks AS (
+      SELECT q_permille,
+             CAST(CEIL(q_permille * n / 1000.0) AS BIGINT) AS rank
+      FROM (SELECT unnest([250, 500, 750, 900, 990])::INT AS q_permille), n
+    )
+    SELECT r.q_permille, MIN(c.v) AS v
+    FROM ranks r JOIN cum c ON c.c >= r.rank
+    GROUP BY r.q_permille ORDER BY q_permille
+    """,
+)
+def t_quantiles(spark, sf_dir):
+    """Exact type-1 quantiles of the document-length distribution
+    (functions/sketch.py exact_quantiles) — the p25/p50/p75/p90/p99
+    cutoffs corpus filters are tuned with, computed distributed with NO
+    unpartitioned window (histogram + the shared two-phase prefix sum)
+    and bit-reproducibly (all-integer rank math), unlike
+    approx_percentile whose merge order moves the answer. The oracle is
+    the definitional single-window cumsum."""
+    from theta_spark.functions.sketch import exact_quantiles
+
+    d = _load(spark, sf_dir, "documents")
+    return exact_quantiles(d, "n_chars", [250, 500, 750, 900, 990]).orderBy("q_permille")
